@@ -1,0 +1,170 @@
+"""Model-layer tests on a tiny random config (CPU).
+
+The reference has no model tests (SURVEY §4); coverage here extends per the
+survey's implication list: shape contracts, prefill/step consistency, the
+greedy loop's masking semantics, and quantized-vs-dense equivalence.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_burn_tpu.models import (
+    EOT,
+    SOT,
+    WhisperConfig,
+    compute_cross_kv,
+    decode_step,
+    encode,
+    greedy_decode,
+    init_cache,
+    prefill,
+    random_params,
+)
+from whisper_burn_tpu.models.whisper import detect_language
+from whisper_burn_tpu.ops import Compute
+from whisper_burn_tpu.ops.compute import KernelBackend
+
+CFG = WhisperConfig.tiny_test()
+COMPUTE = Compute.parity().replace(backend=KernelBackend.XLA)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return random_params(CFG, seed=0, quantized=False)
+
+
+def _mel(b=2, seed=1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((b, CFG.n_mels, CFG.n_audio_ctx * 2)).astype(np.float32))
+
+
+def test_encode_shape(params):
+    out = encode(params, _mel(), CFG, COMPUTE)
+    assert out.shape == (2, CFG.n_audio_ctx, CFG.n_audio_state)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_prefill_then_steps_matches_full_prefill(params):
+    """Incremental decode must reproduce the batched-prompt path — the
+    KV-cache analogue of the reference's forward_prompt == decode_step chain."""
+    rng = np.random.default_rng(2)
+    enc_out = encode(params, _mel(), CFG, COMPUTE)
+    seq = rng.integers(0, 1000, size=(2, 9)).astype(np.int32)
+    seq[:, 0] = SOT
+
+    ck, cv = compute_cross_kv(params, CFG, enc_out, COMPUTE)
+
+    # path A: prefill the whole 9-token sequence
+    cache_a = init_cache(CFG, 2, COMPUTE)._replace(cross_k=ck, cross_v=cv)
+    logits_a, _ = prefill(params, CFG, jnp.asarray(seq), cache_a, COMPUTE)
+
+    # path B: prefill 4, then 5 single steps
+    cache_b = init_cache(CFG, 2, COMPUTE)._replace(cross_k=ck, cross_v=cv)
+    _, cache_b = prefill(params, CFG, jnp.asarray(seq[:, :4]), cache_b, COMPUTE)
+    logits_b = None
+    for pos in range(4, 9):
+        logits_b, cache_b = decode_step(
+            params, CFG, jnp.asarray(seq[:, pos]), jnp.asarray(pos), cache_b, COMPUTE
+        )
+
+    a, b = np.asarray(logits_a), np.asarray(logits_b)
+    np.testing.assert_allclose(
+        a[:, : CFG.n_vocab], b[:, : CFG.n_vocab], atol=2e-4, rtol=1e-4
+    )
+
+
+def test_greedy_decode_contract(params):
+    lang = jnp.full((2,), CFG.lang_token_start, jnp.int32)
+    res = greedy_decode(params, CFG, _mel(), lang, COMPUTE, max_tokens=12)
+    toks = np.asarray(res.tokens)
+    assert toks.shape == (2, 12)
+    n_gen = np.asarray(res.n_generated)
+
+    for row, n in zip(toks, n_gen):
+        # EOT never appears among counted tokens; all trailing slots are EOT
+        assert np.all(row[:n] != EOT)
+        assert np.all(row[n:] == EOT)
+    # determinism
+    res2 = greedy_decode(params, CFG, _mel(), lang, COMPUTE, max_tokens=12)
+    np.testing.assert_array_equal(toks, np.asarray(res2.tokens))
+    # padded vocab ids can never be sampled
+    assert toks.max() < CFG.n_vocab
+
+
+def test_min_tokens_eot_suppression(params):
+    """The first 3 samples are never EOT (src/model/whisper.rs:96-122)."""
+    lang = jnp.full((2,), CFG.lang_token_start, jnp.int32)
+    res = greedy_decode(params, CFG, _mel(seed=5), lang, COMPUTE, max_tokens=8)
+    toks = np.asarray(res.tokens)
+    assert np.all(toks[:, :3] != EOT)
+
+
+def test_detect_language_in_range(params):
+    enc_out = encode(params, _mel(), CFG, COMPUTE)
+    cache = init_cache(CFG, 2, COMPUTE)
+    ck, cv = compute_cross_kv(params, CFG, enc_out, COMPUTE)
+    cache = cache._replace(cross_k=ck, cross_v=cv)
+    lang = np.asarray(detect_language(params, CFG, cache, COMPUTE))
+    assert np.all(lang >= CFG.lang_token_start)
+    assert np.all(lang < CFG.lang_token_end)
+
+
+def test_greedy_decode_auto_matches_explicit(params):
+    """detect=True with the detected token == explicit run with that token."""
+    mel = _mel(seed=7)
+    auto = greedy_decode(
+        params, CFG, mel, jnp.full((2,), -1, jnp.int32), COMPUTE, detect=True, max_tokens=8
+    )
+    explicit = greedy_decode(
+        params, CFG, mel, auto.lang_tokens, COMPUTE, max_tokens=8
+    )
+    np.testing.assert_array_equal(np.asarray(auto.tokens), np.asarray(explicit.tokens))
+
+
+def test_quantized_matches_dequantized_dense():
+    """A quantized model == a dense model built from its dequantized weights
+    (the fused path changes layout, not values; src/gguf/tests.rs:413-480)."""
+    import jax
+
+    qparams = random_params(CFG, seed=3, quantized=True)
+
+    def dequant(p):
+        if isinstance(p, dict) and "qw" in p:
+            qw, scales = p["qw"], p["scales"]  # possibly stacked: [L, K, N]
+            w = qw.astype(np.float32) * np.repeat(scales, 32, axis=-2)
+            out = {"w": w}
+            if "b" in p:
+                out["b"] = p["b"]
+            return out
+        if isinstance(p, dict):
+            return {k: dequant(v) for k, v in p.items()}
+        return p
+
+    dparams = dequant(qparams)
+    mel = _mel(seed=4)
+    lang = jnp.full((2,), CFG.lang_token_start, jnp.int32)
+    rq = greedy_decode(qparams, CFG, mel, lang, COMPUTE, max_tokens=6)
+    rd = greedy_decode(dparams, CFG, mel, lang, COMPUTE, max_tokens=6)
+    np.testing.assert_array_equal(np.asarray(rq.tokens), np.asarray(rd.tokens))
+
+    eq = encode(qparams, mel, CFG, COMPUTE)
+    ed = encode(dparams, mel, CFG, COMPUTE)
+    np.testing.assert_allclose(np.asarray(eq), np.asarray(ed), atol=1e-5)
+
+
+def test_jit_greedy_decode(params):
+    """The whole transcription is one compiled program (static cfg/compute)."""
+    import functools
+    import jax
+
+    fn = jax.jit(
+        functools.partial(greedy_decode, max_tokens=8),
+        static_argnames=("cfg", "compute"),
+    )
+    mel = _mel(seed=9)
+    lang = jnp.full((2,), CFG.lang_token_start, jnp.int32)
+    res = fn(params, CFG, mel, lang, COMPUTE)
+    ref = greedy_decode(params, CFG, mel, lang, COMPUTE, max_tokens=8)
+    np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(ref.tokens))

@@ -1,0 +1,88 @@
+"""Multi-head scaled-dot-product attention (shared by encoder/decoder).
+
+Numerical contract (reference: src/model/attention.rs:243-298):
+
+* reshape ``[B, T, D] -> [B, H, T, dh]``, scores ``q @ k^T / sqrt(dh)``
+* additive mask (``-inf``) for causal/padded keys, softmax over keys in f32
+* cross-attn key projection has no bias (a checkpoint property — the bias
+  tensor simply doesn't exist; src/gguf/loader.rs:205-210)
+
+TPU notes: scores/softmax run in float32; the two batched matmuls carry
+``preferred_element_type=f32`` so bf16 activations still accumulate in f32
+on the MXU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from whisper_burn_tpu.ops.compute import Compute
+
+NEG_INF = float("-inf")
+
+
+def split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """[B, T, D] -> [B, H, T, dh]."""
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, dh] -> [B, T, D]."""
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_heads: int,
+    *,
+    mask: jnp.ndarray | None,
+    compute: Compute,
+) -> jnp.ndarray:
+    """``q: [B, Tq, D]``, ``k/v: [B, Tkv, D]`` -> ``[B, Tq, D]``.
+
+    ``mask``: additive ``[Tq, Tkv]`` or broadcastable (0 keep, -inf drop).
+    """
+    dh = q.shape[-1] // n_heads
+    qh = split_heads(q, n_heads)
+    kh = split_heads(k, n_heads)
+    vh = split_heads(v, n_heads)
+
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        qh,
+        kh,
+        precision=compute.precision,
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores / jnp.asarray(dh, jnp.float32) ** 0.5
+    if mask is not None:
+        scores = scores + mask
+    weights = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        weights.astype(compute.dtype),
+        vh,
+        precision=compute.precision,
+        preferred_element_type=jnp.float32,
+    ).astype(compute.dtype)
+    return merge_heads(out)
+
+
+def causal_mask(t_q: int, t_kv: int) -> jnp.ndarray:
+    """Upper-triangular -inf mask (src/model/attention.rs:270-287); queries
+    are the *last* ``t_q`` positions of the ``t_kv`` key range."""
+    i = jnp.arange(t_q)[:, None] + (t_kv - t_q)
+    j = jnp.arange(t_kv)[None, :]
+    return jnp.where(j <= i, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def length_mask(valid_len: jnp.ndarray, t_kv: int) -> jnp.ndarray:
+    """-inf over key positions >= valid_len (for the preallocated KV cache)."""
+    j = jnp.arange(t_kv)[None, :]
+    return jnp.where(j < valid_len, 0.0, NEG_INF).astype(jnp.float32)

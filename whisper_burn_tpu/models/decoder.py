@@ -1,0 +1,208 @@
+"""Whisper text decoder with a preallocated, donated KV cache.
+
+Contract (reference: src/model/decoder.rs):
+
+* token embedding lookup + learned positional embedding sliced by absolute
+  position (:211-226, :317-329)
+* pre-norm blocks: self-attn (causal) -> cross-attn -> FFN (:77-167)
+* cross K/V computed once from encoder output at prefill and reused every
+  step (:154-159, attention.rs:204-236)
+* output projection = tied token-embedding transpose, no bias (:240-244)
+
+TPU design (the deliberate departures, SURVEY §7.3):
+
+* the KV cache is **preallocated** at ``[L, B, n_text_ctx, D]`` and updated
+  in place with ``lax.dynamic_update_slice`` — never the reference's
+  grow-by-concat ``Option<Tensor>`` (decoder.rs:16-45, attention.rs:106-113),
+  which reallocates every token;
+* blocks run under ``lax.scan`` with the cache in the carry so XLA keeps
+  updates in-place inside the decode ``while_loop``;
+* logits stay on device — the reference's per-token ``into_data()`` host
+  sync (decoder.rs:294-295, 346-347) has no counterpart here.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from whisper_burn_tpu.models.attention import attention, causal_mask, length_mask
+from whisper_burn_tpu.models.config import WhisperConfig
+from whisper_burn_tpu.models.layers import gelu, layer_norm
+from whisper_burn_tpu.models.params import Params
+from whisper_burn_tpu.ops import Compute, apply_linear
+
+
+class KVCache(NamedTuple):
+    """Preallocated decoder cache (replaces src/model/decoder.rs:16-45)."""
+
+    self_k: jnp.ndarray  # [L, B, n_text_ctx, D]
+    self_v: jnp.ndarray  # [L, B, n_text_ctx, D]
+    cross_k: jnp.ndarray  # [L, B, n_audio_ctx, D]
+    cross_v: jnp.ndarray  # [L, B, n_audio_ctx, D]
+
+
+def init_cache(cfg: WhisperConfig, batch: int, compute: Compute) -> KVCache:
+    l, d = cfg.n_text_layer, cfg.n_text_state
+    z = lambda t: jnp.zeros((l, batch, t, d), compute.dtype)
+    return KVCache(z(cfg.n_text_ctx), z(cfg.n_text_ctx), z(cfg.n_audio_ctx), z(cfg.n_audio_ctx))
+
+
+def _embed(dec: Params, tokens: jnp.ndarray, positions: jnp.ndarray, compute: Compute) -> jnp.ndarray:
+    """tokens [B, T] + absolute positions [T] -> [B, T, D]
+    (src/model/decoder.rs:211-226)."""
+    tok = jnp.take(dec["tok_emb"], tokens, axis=0)
+    pos = jnp.take(dec["pos"], positions, axis=0)
+    return (tok + pos[None]).astype(compute.dtype)
+
+
+def _logits(dec: Params, x: jnp.ndarray, cfg: WhisperConfig, compute: Compute) -> jnp.ndarray:
+    """Final LN + tied-embedding projection; padded vocab masked to -inf.
+
+    ``x: [B, D]`` -> ``[B, n_vocab_padded]`` float32
+    (src/model/decoder.rs:240-244).
+    """
+    x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
+    logits = jnp.matmul(
+        x.astype(compute.dtype),
+        dec["tok_emb"].astype(compute.dtype).T,
+        precision=compute.precision,
+        preferred_element_type=jnp.float32,
+    )
+    pad = jnp.arange(logits.shape[-1]) >= cfg.n_vocab
+    return jnp.where(pad[None, :], -jnp.inf, logits)
+
+
+def _self_attn(bp, h, k_full, v_full, n_heads, mask, compute):
+    q = apply_linear(bp["attn_q"], h, compute)
+    return attention(q, k_full, v_full, n_heads, mask=mask, compute=compute)
+
+
+def _cross_attn(bp, h, ck, cv, n_heads, compute):
+    q = apply_linear(bp["xattn_q"], h, compute)
+    return attention(q, ck, cv, n_heads, mask=None, compute=compute)
+
+
+def compute_cross_kv(
+    params: Params, cfg: WhisperConfig, enc_out: jnp.ndarray, compute: Compute
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention K/V for all layers, computed once per utterance
+    (src/model/attention.rs:208-236). Returns ``([L, B, T_enc, D], same)``.
+
+    Kept separate from :func:`prefill` so language auto-detection (an extra
+    1-token prompt pass, whisper.py) reuses it instead of re-projecting the
+    1500-frame encoder output through 2L matmuls.
+    """
+    enc = enc_out.astype(compute.dtype)
+
+    def block(_, bp):
+        ck = apply_linear(bp["xattn_k"], enc, compute)
+        cv = apply_linear(bp["xattn_v"], enc, compute)
+        return None, (ck, cv)
+
+    _, (cks, cvs) = jax.lax.scan(block, None, params["decoder"]["blocks"])
+    return cks, cvs
+
+
+def prefill(
+    params: Params,
+    cfg: WhisperConfig,
+    tokens: jnp.ndarray,
+    cache: KVCache,
+    compute: Compute,
+    pos_offset: int = 0,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Batched prompt pass writing self K/V into ``cache``.
+
+    ``cache.cross_k/v`` must already be filled (:func:`compute_cross_kv`).
+    ``tokens: [B, T]`` occupy cache positions ``[pos_offset, pos_offset+T)``.
+    Returns (last-position logits ``[B, Vp]`` f32, cache) — the functional
+    counterpart of ``forward_prompt`` (src/model/decoder.rs:251-296).
+    """
+    dec = params["decoder"]
+    b, t = tokens.shape
+    x = _embed(dec, tokens, jnp.arange(pos_offset, pos_offset + t), compute)
+    mask = causal_mask(t, t)
+
+    def block(x, xs):
+        bp, ck, cv = xs
+        h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
+        k = apply_linear(bp["attn_k"], h, compute)
+        v = apply_linear(bp["attn_v"], h, compute)
+        a = _self_attn(bp, h, k, v, cfg.n_text_head, mask, compute)
+        x = x + apply_linear(bp["attn_o"], a, compute)
+
+        h = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
+        a = _cross_attn(bp, h, ck, cv, cfg.n_text_head, compute)
+        x = x + apply_linear(bp["xattn_o"], a, compute)
+
+        h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
+        h = gelu(apply_linear(bp["fc1"], h, compute), cfg.gelu)
+        x = x + apply_linear(bp["fc2"], h, compute)
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(
+        block, x, (params["decoder"]["blocks"], cache.cross_k, cache.cross_v)
+    )
+
+    sl = (slice(None), slice(None), slice(pos_offset, pos_offset + t))
+    cache = cache._replace(
+        self_k=cache.self_k.at[sl].set(ks),
+        self_v=cache.self_v.at[sl].set(vs),
+    )
+    logits = _logits(dec, x[:, -1], cfg, compute)
+    return logits, cache
+
+
+def decode_step(
+    params: Params,
+    cfg: WhisperConfig,
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    cache: KVCache,
+    compute: Compute,
+) -> tuple[jnp.ndarray, KVCache]:
+    """One autoregressive step.
+
+    ``token: [B]`` at cache position ``pos`` (scalar). Returns
+    (``logits [B, Vp]`` f32, updated cache) — counterpart of ``decode_step``
+    (src/model/decoder.rs:306-348) minus the host readback.
+    """
+    dec = params["decoder"]
+    b = token.shape[0]
+    x = _embed(dec, token[:, None], pos[None], compute)  # [B, 1, D]
+    mask = length_mask(pos + 1, cfg.n_text_ctx)  # keys beyond pos are padding
+    layer_idx = jnp.arange(cfg.n_text_layer)
+
+    def block(carry, xs):
+        x, sk, sv = carry
+        bp, ck, cv, l = xs
+
+        h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
+        k = apply_linear(bp["attn_k"], h, compute)  # [B, 1, D]
+        v = apply_linear(bp["attn_v"], h, compute)
+        sk = jax.lax.dynamic_update_slice(sk, k[None], (l, 0, pos, 0))
+        sv = jax.lax.dynamic_update_slice(sv, v[None], (l, 0, pos, 0))
+        k_full = jax.lax.dynamic_index_in_dim(sk, l, 0, keepdims=False)
+        v_full = jax.lax.dynamic_index_in_dim(sv, l, 0, keepdims=False)
+        a = _self_attn(bp, h, k_full, v_full, cfg.n_text_head, mask, compute)
+        x = x + apply_linear(bp["attn_o"], a, compute)
+
+        h = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
+        a = _cross_attn(bp, h, ck, cv, cfg.n_text_head, compute)
+        x = x + apply_linear(bp["xattn_o"], a, compute)
+
+        h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
+        h = gelu(apply_linear(bp["fc1"], h, compute), cfg.gelu)
+        x = x + apply_linear(bp["fc2"], h, compute)
+        return (x, sk, sv), None
+
+    (x, sk, sv), _ = jax.lax.scan(
+        block,
+        (x, cache.self_k, cache.self_v),
+        (params["decoder"]["blocks"], cache.cross_k, cache.cross_v, layer_idx),
+    )
+    logits = _logits(dec, x[:, 0], cfg, compute)
+    return logits, cache._replace(self_k=sk, self_v=sv)

@@ -1,0 +1,156 @@
+"""Parameter pytree structure, stacking, and random initialization.
+
+The whole model is a nested dict of arrays (pytree) so pjit/shard_map can
+annotate shardings leaf-by-leaf. Per-layer blocks are **stacked along a
+leading layer axis** and consumed with ``lax.scan`` — one traced layer
+instead of 32, which keeps XLA compile times flat in depth.
+
+Structure (D = n_state, F = ffn_dim = 4D, V = n_vocab_padded,
+L = layer count; ``lin`` = quantized ``{qw, scales, b?}`` or dense
+``{w, b?}``, see ops/linear.py):
+
+    params = {
+      "encoder": {
+        "conv1": {"w": [D, n_mels, 3], "b": [D]},
+        "conv2": {"w": [D, D, 3], "b": [D]},
+        "pos": [n_audio_ctx, D],                  # sinusoidal, from ckpt
+        "blocks": {                                # stacked over L
+          "attn_ln": {"g": [L, D], "b": [L, D]},
+          "attn_q": lin, "attn_k": lin, "attn_v": lin, "attn_o": lin,
+          "mlp_ln": {"g", "b"}, "fc1": lin[D->F], "fc2": lin[F->D],
+        },
+        "ln_post": {"g": [D], "b": [D]},
+      },
+      "decoder": {
+        "tok_emb": [V, D],                         # padded rows are zero
+        "pos": [n_text_ctx, D],                    # learned, from ckpt
+        "blocks": { ...encoder block keys...,
+          "xattn_ln": {"g", "b"},
+          "xattn_q": lin, "xattn_k": lin (no bias), "xattn_v": lin,
+          "xattn_o": lin,
+        },
+        "ln": {"g": [D], "b": [D]},
+      },
+    }
+
+Tensor-name mapping from GGUF lives in gguf/loader.py; the reference
+assembles the same structure imperatively (src/gguf/loader.rs:284-377).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+
+from whisper_burn_tpu.gguf.repack import repack_f32
+from whisper_burn_tpu.models.config import WhisperConfig
+
+Params = dict[str, Any]
+
+
+def stack_layers(layers: list[Params]) -> Params:
+    """Stack a list of identical per-layer pytrees along a new leading axis."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *layers)
+
+
+def _rand_linear(
+    rng: np.random.Generator, k: int, n: int, *, quantized: bool, bias: bool, scale: float = 0.05
+) -> Params:
+    w = rng.standard_normal((n, k)).astype(np.float32) * scale  # [N, K] ckpt layout
+    if quantized:
+        qt = repack_f32(w)
+        p: Params = {"qw": qt.qw, "scales": qt.scales}
+    else:
+        p = {"w": np.ascontiguousarray(w.T)}
+    if bias:
+        p["b"] = rng.standard_normal(n).astype(np.float32) * 0.01
+    return p
+
+
+def _rand_ln(rng: np.random.Generator, d: int) -> Params:
+    return {
+        "g": 1.0 + rng.standard_normal(d).astype(np.float32) * 0.02,
+        "b": rng.standard_normal(d).astype(np.float32) * 0.02,
+    }
+
+
+def _rand_block(
+    rng: np.random.Generator, d: int, f: int, *, cross: bool, quantized: bool
+) -> Params:
+    p = {
+        "attn_ln": _rand_ln(rng, d),
+        "attn_q": _rand_linear(rng, d, d, quantized=quantized, bias=True),
+        "attn_k": _rand_linear(rng, d, d, quantized=quantized, bias=False),
+        "attn_v": _rand_linear(rng, d, d, quantized=quantized, bias=True),
+        "attn_o": _rand_linear(rng, d, d, quantized=quantized, bias=True),
+        "mlp_ln": _rand_ln(rng, d),
+        "fc1": _rand_linear(rng, d, f, quantized=quantized, bias=True),
+        "fc2": _rand_linear(rng, f, d, quantized=quantized, bias=True),
+    }
+    if cross:
+        p.update(
+            xattn_ln=_rand_ln(rng, d),
+            xattn_q=_rand_linear(rng, d, d, quantized=quantized, bias=True),
+            xattn_k=_rand_linear(rng, d, d, quantized=quantized, bias=False),
+            xattn_v=_rand_linear(rng, d, d, quantized=quantized, bias=True),
+            xattn_o=_rand_linear(rng, d, d, quantized=quantized, bias=True),
+        )
+    return p
+
+
+def sinusoidal_positions(length: int, channels: int) -> np.ndarray:
+    """Whisper's sinusoidal encoder positions (for tests; real checkpoints
+    ship this tensor, src/model/encoder.rs:59)."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+def random_params(
+    cfg: WhisperConfig, seed: int = 0, *, quantized: bool = True
+) -> Params:
+    """Random model parameters with the real structure (test fixture)."""
+    rng = np.random.default_rng(seed)
+    d, f = cfg.n_audio_state, cfg.ffn_dim
+
+    enc_blocks = [
+        _rand_block(rng, d, f, cross=False, quantized=quantized)
+        for _ in range(cfg.n_audio_layer)
+    ]
+    dec_blocks = [
+        _rand_block(rng, d, f, cross=True, quantized=quantized)
+        for _ in range(cfg.n_text_layer)
+    ]
+
+    tok_emb = np.zeros((cfg.n_vocab_padded, d), dtype=np.float32)
+    tok_emb[: cfg.n_vocab] = rng.standard_normal((cfg.n_vocab, d)).astype(np.float32) * 0.02
+
+    return {
+        "encoder": {
+            "conv1": {
+                "w": rng.standard_normal((d, cfg.n_mels, 3)).astype(np.float32) * 0.05,
+                "b": np.zeros(d, np.float32),
+            },
+            "conv2": {
+                "w": rng.standard_normal((d, d, 3)).astype(np.float32) * 0.02,
+                "b": np.zeros(d, np.float32),
+            },
+            "pos": sinusoidal_positions(cfg.n_audio_ctx, d),
+            "blocks": stack_layers(enc_blocks),
+            "ln_post": _rand_ln(rng, d),
+        },
+        "decoder": {
+            "tok_emb": tok_emb,
+            "pos": rng.standard_normal((cfg.n_text_ctx, d)).astype(np.float32) * 0.01,
+            "blocks": stack_layers(dec_blocks),
+            "ln": _rand_ln(rng, d),
+        },
+    }
+
+
+def count_params(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
