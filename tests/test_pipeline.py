@@ -1,0 +1,114 @@
+"""End-to-end pipeline tests with a synthetic model + tokenizer."""
+
+import numpy as np
+import pytest
+
+from whisper_burn_tpu.audio.io import AudioBuffer, load_wav
+from whisper_burn_tpu.gguf.loader import LoadedModel
+from whisper_burn_tpu.models import WhisperConfig, random_params
+from whisper_burn_tpu.ops import Compute
+from whisper_burn_tpu.ops.compute import KernelBackend
+from whisper_burn_tpu.tokenizer import WhisperTokenizer
+from whisper_burn_tpu.transcribe import WhisperPipeline
+
+TEST_WAV = "/root/reference/test.wav"
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    """Minimal byte-level BPE tokenizer covering ids the tiny model samples."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers
+    from tokenizers.trainers import BpeTrainer
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = BpeTrainer(vocab_size=400, special_tokens=[])
+    tok.train_from_iterator(
+        ["hello world this is a tiny whisper test corpus"] * 8, trainer
+    )
+    path = tmp_path_factory.mktemp("tok") / "tokenizer.json"
+    tok.save(str(path))
+    return WhisperTokenizer.from_file(path)
+
+
+@pytest.fixture(scope="module")
+def model():
+    # real Whisper-style vocab so the special tokens exist
+    cfg = WhisperConfig.tiny_test()
+    params = random_params(cfg, seed=0, quantized=True)
+    return LoadedModel(config=cfg, params=params)
+
+
+@pytest.fixture(scope="module")
+def pipeline(model, tokenizer):
+    compute = Compute.parity().replace(backend=KernelBackend.XLA)
+    return WhisperPipeline(model, tokenizer, compute=compute, max_tokens=8)
+
+
+def _tone(seconds=1.0, rate=16000, hz=440.0):
+    t = np.arange(int(seconds * rate)) / rate
+    return (0.3 * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+def test_transcribe_single(pipeline):
+    res = pipeline.transcribe(_tone(), language="en")
+    assert isinstance(res.text, str)
+    assert res.inference_ms > 0
+    assert res.lang_token == 50259
+    assert len(res.tokens) <= 8
+    # deterministic
+    res2 = pipeline.transcribe(_tone(), language="en")
+    np.testing.assert_array_equal(res.tokens, res2.tokens)
+    assert res.text == res2.text
+
+
+def test_transcribe_batch_matches_single(pipeline):
+    a, b = _tone(hz=440), _tone(hz=220)
+    batch = pipeline.transcribe_batch([a, b], ["en", "de"])
+    solo = pipeline.transcribe(a, language="en")
+    np.testing.assert_array_equal(batch[0].tokens, solo.tokens)
+    assert batch[1].lang_token == 50261
+
+
+def test_transcribe_resamples(pipeline):
+    buf = AudioBuffer(_tone(rate=44100), sample_rate=44100)
+    res = pipeline.transcribe(buf, language="en")
+    assert isinstance(res.text, str)
+
+
+def test_transcribe_long_chunks(pipeline):
+    """65 s of audio -> 3 chunks, one batched call, concatenated text."""
+    audio = np.tile(_tone(seconds=1.0), 65).astype(np.float32)
+    res = pipeline.transcribe_long(audio, language="en")
+    assert isinstance(res.text, str)
+    assert res.tokens.ndim == 1
+
+
+def test_transcribe_test_wav(pipeline):
+    """The reference parity fixture runs through the whole stack."""
+    buf = load_wav(TEST_WAV)
+    res = pipeline.transcribe(buf, language="en")
+    assert res.inference_ms > 0
+
+
+def test_auto_language_detection(pipeline):
+    res = pipeline.transcribe(_tone(), language="auto")
+    assert 50259 <= res.lang_token < 50259 + pipeline.config.n_lang
+
+
+def test_reference_frontend_profile(model, tokenizer):
+    compute = Compute.parity().replace(backend=KernelBackend.XLA)
+    pipe = WhisperPipeline(
+        model, tokenizer, compute=compute, frontend="reference", max_tokens=6
+    )
+    assert pipe.config.gelu == "tanh"
+    res = pipe.transcribe(_tone(), language="en")
+    assert isinstance(res.text, str)
+
+
+def test_tokenizer_roundtrip(tokenizer):
+    ids = tokenizer.encode("hello world")
+    assert tokenizer.decode(ids).strip() == "hello world"
+    # decode_transcription filters special/eot ids
+    assert tokenizer.decode_transcription(list(ids) + [50257, 50258]) == "hello world"

@@ -1,0 +1,115 @@
+"""Command-line interface: transcribe, inspect, convert.
+
+The reference's only binary is its GUI app (out of scope per BASELINE);
+this CLI is the framework's batch/serving front door.
+
+Usage:
+    python -m whisper_burn_tpu.cli transcribe audio.wav \
+        --model model-q4.gguf --tokenizer tokenizer.json [--language en]
+    python -m whisper_burn_tpu.cli info --model model-q4.gguf
+    python -m whisper_burn_tpu.cli convert --hf-model openai/whisper-large-v3 \
+        --output model-q4.gguf
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_transcribe(args: argparse.Namespace) -> int:
+    from whisper_burn_tpu.audio.io import load_wav
+    from whisper_burn_tpu.gguf.loader import load_whisper_from_gguf
+    from whisper_burn_tpu.ops import Compute
+    from whisper_burn_tpu.tokenizer import WhisperTokenizer
+    from whisper_burn_tpu.transcribe import WhisperPipeline
+
+    model = load_whisper_from_gguf(args.model)
+    tokenizer = WhisperTokenizer.from_file(args.tokenizer) if args.tokenizer else None
+    compute = Compute.fast() if args.bf16 else Compute.parity()
+    pipe = WhisperPipeline(model, tokenizer, compute=compute, frontend=args.frontend)
+
+    for path in args.audio:
+        audio = load_wav(path)
+        if args.long:
+            result = pipe.transcribe_long(audio, language=args.language)
+        else:
+            result = pipe.transcribe(audio, language=args.language)
+        if args.json:
+            print(
+                json.dumps(
+                    {
+                        "file": str(path),
+                        "text": result.text,
+                        "inference_ms": round(result.inference_ms, 2),
+                        "lang_token": result.lang_token,
+                        "n_tokens": len(result.tokens),
+                    }
+                )
+            )
+        else:
+            print(f"{path}: {result.text}  [{result.inference_ms:.0f} ms]")
+    return 0
+
+
+def _cmd_info(args: argparse.Namespace) -> int:
+    from whisper_burn_tpu.gguf.reader import GgufReader
+    from whisper_burn_tpu.gguf.loader import infer_config
+
+    r = GgufReader.open(args.model)
+    cfg = infer_config(r)
+    print(f"GGUF v{r.version}, {len(r.tensors)} tensors, align {r.alignment}")
+    for k, v in r.metadata.items():
+        print(f"  meta {k} = {v}")
+    print(
+        f"model: d={cfg.n_audio_state} heads={cfg.n_audio_head} "
+        f"enc_layers={cfg.n_audio_layer} dec_layers={cfg.n_text_layer} "
+        f"mels={cfg.n_mels} vocab={cfg.n_vocab} n_lang={cfg.n_lang}"
+    )
+    by_dtype: dict[str, int] = {}
+    for info in r.tensors.values():
+        by_dtype[info.dtype.name] = by_dtype.get(info.dtype.name, 0) + info.nbytes
+    for dtype, nbytes in sorted(by_dtype.items()):
+        print(f"  {dtype}: {nbytes / 1e6:.1f} MB")
+    return 0
+
+
+def _cmd_convert(args: argparse.Namespace) -> int:
+    from whisper_burn_tpu.gguf.convert import convert_hf_model
+
+    convert_hf_model(args.hf_model, args.output)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="whisper_burn_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("transcribe", help="transcribe WAV files")
+    t.add_argument("audio", nargs="+")
+    t.add_argument("--model", required=True, help="GGUF checkpoint path")
+    t.add_argument("--tokenizer", default=None, help="tokenizer.json path")
+    t.add_argument("--language", default="auto")
+    t.add_argument("--frontend", choices=["openai", "reference"], default="openai")
+    t.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    t.add_argument("--long", action="store_true", help="30s-chunked long audio")
+    t.add_argument("--json", action="store_true")
+    t.set_defaults(fn=_cmd_transcribe)
+
+    i = sub.add_parser("info", help="inspect a GGUF checkpoint")
+    i.add_argument("--model", required=True)
+    i.set_defaults(fn=_cmd_info)
+
+    c = sub.add_parser("convert", help="HF checkpoint -> Q4_0 GGUF")
+    c.add_argument("--hf-model", required=True)
+    c.add_argument("--output", required=True)
+    c.set_defaults(fn=_cmd_convert)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

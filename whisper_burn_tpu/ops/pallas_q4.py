@@ -1,0 +1,150 @@
+"""Fused Q4 dequant-matmul Pallas kernel for TPU.
+
+The MXU-tiled rebirth of the reference's WGSL shader
+(src/gguf/shader.wgsl:51-92). The reference runs one thread per output
+element, re-reading the same input row and unpacking nibbles scalar-by-
+scalar with no shared-memory tiling — the design explicitly NOT to copy
+(SURVEY §7.4). Here:
+
+* weights arrive pre-repacked (gguf/repack.py) as ``qw: int8[K, N]`` +
+  ``scales: f32[K//32, N]`` — HBM traffic is 1 byte/weight,
+* the grid is a standard ``(M/bm, N/bn, K/bk)`` matmul tiling; each step
+  dequantizes one ``[bk, bn]`` int8 tile in VMEM registers (VPU:
+  ``int8 -> compute dtype``, broadcast-multiply by the 32-wide block
+  scales) and feeds the MXU contraction, accumulating f32 into the output
+  tile across the sequential K dimension,
+* Mosaic's automatic pipelining double-buffers the HBM->VMEM tile loads.
+
+Dequant semantics are bit-identical to ``(nibble - 8) * d``
+(src/gguf/shader.wgsl:82-88): ``qw`` stores ``nibble - 8`` and ``scales``
+the f16-exact ``d``.
+
+Shapes must satisfy K % 256 == 0 (holds for all Whisper dims: 1280, 5120);
+M and N are padded to tile multiples in the wrapper and unpadded after.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Q4_BLOCK = 32
+
+# Tile sizes. bk=256 divides every Whisper K (1280, 5120); bn=256 divides
+# every quantized N. bm adapts to small M (decode GEMV) below.
+BK = 256
+BN = 256
+BM_MAX = 256
+
+
+def _kernel(x_ref, qw_ref, sc_ref, o_ref, *, dtype, precision):
+    """One (bm, bn) output tile accumulating over the K grid dimension."""
+    k_step = pl.program_id(2)
+
+    @pl.when(k_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    q = qw_ref[:].astype(dtype)  # [bk, bn] int8 -> compute dtype (VPU)
+    bk, bn = q.shape
+    w = (q.reshape(bk // Q4_BLOCK, Q4_BLOCK, bn) * sc_ref[:].astype(dtype)[:, None, :]).reshape(bk, bn)
+    o_ref[:] += jnp.dot(
+        x_ref[:], w, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dtype", "precision", "interpret", "bm", "bn", "bk")
+)
+def _q4_matmul_2d(
+    x: jnp.ndarray,  # [M, K] compute dtype
+    qw: jnp.ndarray,  # [K, N] int8
+    scales: jnp.ndarray,  # [K//32, N] f32
+    *,
+    dtype,
+    precision,
+    interpret: bool,
+    bm: int,
+    bn: int,
+    bk: int,
+) -> jnp.ndarray:
+    m, k = x.shape
+    _, n = qw.shape
+    grid = (m // bm, n // bn, k // bk)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, dtype=dtype, precision=precision),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, s: (i, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, s: (s, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bk // Q4_BLOCK, bn), lambda i, j, s: (s, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, s: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * x.dtype.itemsize + k * n + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qw, scales)
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def q4_matmul_pallas(
+    x: jnp.ndarray,
+    qw: jnp.ndarray,
+    scales: jnp.ndarray,
+    compute,
+    interpret: bool | None = None,
+) -> jnp.ndarray | None:
+    """Fused quantized matmul ``[..., K] -> [..., N]``.
+
+    Returns None for shapes the kernel does not serve (caller falls back to
+    the XLA path). ``interpret=True`` runs the Mosaic interpreter (CPU
+    tests).
+    """
+    k, n = qw.shape
+    if k % BK != 0:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    batch_shape = x.shape[:-1]
+    m = 1
+    for s in batch_shape:
+        m *= s
+    x2 = x.reshape(m, k).astype(compute.dtype)
+
+    # pad M to a tile multiple (8 keeps the f32 sublane width; decode GEMV
+    # runs bm=8), N to the lane-tile multiple
+    bm = min(BM_MAX, _round_up(m, 8))
+    m_pad = _round_up(m, bm)
+    n_pad = _round_up(n, BN)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    qw_p, sc_p = qw, scales
+    if n_pad != n:
+        qw_p = jnp.pad(qw, ((0, 0), (0, n_pad - n)))
+        sc_p = jnp.pad(scales, ((0, 0), (0, n_pad - n)))
+
+    y = _q4_matmul_2d(
+        x2, qw_p, sc_p,
+        dtype=compute.dtype, precision=compute.precision,
+        interpret=interpret, bm=bm, bn=BN, bk=BK,
+    )
+    y = y[:m, :n].astype(compute.dtype)
+    return y.reshape(*batch_shape, n)

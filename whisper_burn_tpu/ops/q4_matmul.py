@@ -66,5 +66,7 @@ def q4_matmul(
     if compute.use_pallas:
         from whisper_burn_tpu.ops.pallas_q4 import q4_matmul_pallas
 
-        return q4_matmul_pallas(x, qw, scales, compute)
+        y = q4_matmul_pallas(x, qw, scales, compute)
+        if y is not None:  # kernel may decline unsupported shapes
+            return y
     return q4_matmul_xla(x, qw, scales, compute)

@@ -1,0 +1,204 @@
+"""End-to-end transcription pipeline: audio -> mel -> encode -> decode -> text.
+
+Counterpart of the reference's src/transcribe.rs, restructured TPU-first:
+the mel frontend, encoder, prefill, and the whole greedy loop compile into
+**one** jitted program per (batch, detect) signature — no host round-trips
+between stages (the reference crosses CPU->GPU at upload and GPU->CPU every
+decoded token, src/transcribe.rs:66-82 + SURVEY §3.1).
+
+Pipeline steps mirror src/transcribe.rs:34-107:
+resample to 16 kHz -> pad/truncate to 480,000 samples -> log-mel
+[B, n_mels, 3000] -> greedy decode -> filter ids < EOT -> BPE decode -> trim.
+
+``frontend`` selects the numerics profile:
+
+* ``"openai"`` (default): slaney-normed mel + exact GELU — what the actual
+  Whisper checkpoints were trained with; best WER.
+* ``"reference"``: unnormalized mel + tanh GELU — bit-parity with the
+  reference implementation's own frontend (src/audio/mel.rs:308-309,
+  src/model/layers.rs:35-41).
+
+Long audio (> 30 s) is handled by 30-second chunking with the chunks run
+as one data-parallel batch (the reference truncates instead,
+src/transcribe.rs:49-51).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from whisper_burn_tpu.audio.io import AudioBuffer
+from whisper_burn_tpu.audio.mel import WHISPER_HOP, MelFrontend, pad_or_trim
+from whisper_burn_tpu.audio.resample import resample_to_16k
+from whisper_burn_tpu.gguf.loader import LoadedModel
+from whisper_burn_tpu.languages import lang_token_id
+from whisper_burn_tpu.models.config import MAX_TOKENS, WhisperConfig
+from whisper_burn_tpu.models.params import Params
+from whisper_burn_tpu.models.whisper import greedy_decode
+from whisper_burn_tpu.ops import Compute
+from whisper_burn_tpu.tokenizer import WhisperTokenizer
+
+
+@dataclass
+class TranscribeResult:
+    text: str
+    inference_ms: float
+    tokens: np.ndarray  # generated ids (EOT-trimmed)
+    lang_token: int
+
+
+def prepare_params(params: Params, compute: Compute) -> Params:
+    """Move params on-device, casting dense weights/embeddings to the compute
+    dtype once (so the decode loop streams bf16, not f32). LayerNorm params,
+    biases, and quant scales stay f32."""
+
+    def cast(path, x):
+        leaf = path[-1].key if path else ""
+        if leaf in ("w", "tok_emb", "pos"):
+            return jnp.asarray(x, compute.dtype)
+        return jnp.asarray(x)
+
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
+class WhisperPipeline:
+    """Stateful convenience wrapper holding params + jit caches.
+
+    Counterpart of the reference's ``InferenceState`` (src/transcribe.rs:26-31).
+    """
+
+    def __init__(
+        self,
+        model: LoadedModel | tuple[WhisperConfig, Params],
+        tokenizer: WhisperTokenizer | None = None,
+        compute: Compute | None = None,
+        frontend: str = "openai",
+        max_tokens: int = MAX_TOKENS,
+    ):
+        if isinstance(model, LoadedModel):
+            cfg, params = model.config, model.params
+        else:
+            cfg, params = model
+        if frontend == "openai":
+            cfg = cfg.replace(gelu="erf")
+            mel_norm = "slaney"
+        elif frontend == "reference":
+            cfg = cfg.replace(gelu="tanh")
+            mel_norm = None
+        else:
+            raise ValueError(f"unknown frontend {frontend!r}")
+
+        self.config = cfg
+        self.compute = compute or Compute.parity()
+        self.tokenizer = tokenizer
+        self.max_tokens = max_tokens
+        self.params = prepare_params(params, self.compute)
+        self.mel = MelFrontend(n_mels=cfg.n_mels, norm=mel_norm, dtype=jnp.float32)
+        # 30 s (480,000 samples) for real models; derived from the audio
+        # context so miniature test configs work too (frames = 2 * n_audio_ctx,
+        # src/transcribe.rs:21-24).
+        self.chunk_samples = cfg.n_audio_ctx * 2 * WHISPER_HOP
+        self._jitted: dict[tuple[int, bool], object] = {}
+
+    # -- compiled entry ----------------------------------------------------
+
+    def _fn(self, batch: int, detect: bool):
+        key = (batch, detect)
+        if key not in self._jitted:
+            cfg, compute, mel, max_tokens = self.config, self.compute, self.mel, self.max_tokens
+
+            def run(params, audio, lang_tokens):
+                features = mel(audio)  # [B, n_mels, 3000]
+                return greedy_decode(
+                    params, cfg, features, lang_tokens, compute,
+                    detect=detect, max_tokens=max_tokens,
+                )
+
+            self._jitted[key] = jax.jit(run)
+        return self._jitted[key]
+
+    # -- public API --------------------------------------------------------
+
+    def transcribe(
+        self, audio: AudioBuffer | np.ndarray, language: str | None = "auto"
+    ) -> TranscribeResult:
+        """Transcribe one utterance (<= 30 s; longer input is truncated like
+        the reference — use :meth:`transcribe_long` for full coverage)."""
+        return self.transcribe_batch([audio], [language])[0]
+
+    def transcribe_batch(
+        self,
+        audios: Sequence[AudioBuffer | np.ndarray],
+        languages: Sequence[str | None] | None = None,
+    ) -> list[TranscribeResult]:
+        """Transcribe a batch of utterances in one compiled call."""
+        b = len(audios)
+        if languages is None:
+            languages = ["auto"] * b
+        samples = np.stack([self._prep_audio(a) for a in audios])
+        lang_tokens = np.array([self._lang_token(l) for l in languages], np.int32)
+        detect = bool((lang_tokens < 0).any())
+
+        fn = self._fn(b, detect)
+        start = time.perf_counter()
+        result = fn(self.params, jnp.asarray(samples), jnp.asarray(lang_tokens))
+        tokens = np.asarray(result.tokens)  # blocks
+        ms = (time.perf_counter() - start) * 1000.0
+        n_gen = np.asarray(result.n_generated)
+        langs = np.asarray(result.lang_tokens)
+
+        out = []
+        for i in range(b):
+            ids = tokens[i, : n_gen[i]]
+            text = (
+                self.tokenizer.decode_transcription(ids) if self.tokenizer else ""
+            )
+            out.append(TranscribeResult(text, ms, ids, int(langs[i])))
+        return out
+
+    def transcribe_long(
+        self, audio: AudioBuffer | np.ndarray, language: str | None = "auto"
+    ) -> TranscribeResult:
+        """Chunked transcription for arbitrary-length audio: 30 s windows,
+        processed as one data-parallel batch, texts concatenated."""
+        samples = self._to_16k(audio)
+        n = len(samples)
+        chunks = [
+            samples[i : i + self.chunk_samples]
+            for i in range(0, max(n, 1), self.chunk_samples)
+        ]
+        results = self.transcribe_batch(
+            [np.asarray(c, np.float32) for c in chunks],
+            [language] * len(chunks),
+        )
+        text = " ".join(r.text for r in results if r.text).strip()
+        return TranscribeResult(
+            text=text,
+            inference_ms=sum(r.inference_ms for r in results),
+            tokens=np.concatenate([r.tokens for r in results]),
+            lang_token=results[0].lang_token,
+        )
+
+    # -- helpers -----------------------------------------------------------
+
+    def _to_16k(self, audio: AudioBuffer | np.ndarray) -> np.ndarray:
+        if isinstance(audio, AudioBuffer):
+            if audio.sample_rate != 16000:
+                audio = resample_to_16k(audio)
+            return audio.samples
+        return np.asarray(audio, np.float32)
+
+    def _prep_audio(self, audio: AudioBuffer | np.ndarray) -> np.ndarray:
+        return pad_or_trim(self._to_16k(audio), self.chunk_samples)
+
+    def _lang_token(self, language: str | None) -> int:
+        if language is None or language == "auto":
+            return -1
+        return lang_token_id(language)
