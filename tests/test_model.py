@@ -154,6 +154,26 @@ def test_quantized_matches_dequantized_dense():
     np.testing.assert_allclose(np.asarray(eq), np.asarray(ed), atol=1e-5)
 
 
+def test_flash_decode_path_matches_xla():
+    """The Pallas flash-decode path (interpret mode on CPU) reproduces the
+    XLA einsum path token-for-token."""
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)  # tileable T_enc
+    params = random_params(cfg, seed=11, quantized=False)
+    rng = np.random.default_rng(12)
+    mel = jnp.asarray(
+        rng.standard_normal((2, cfg.n_mels, cfg.n_audio_ctx * 2)).astype(np.float32)
+    )
+    lang = jnp.full((2,), cfg.lang_token_start, jnp.int32)
+
+    xla = greedy_decode(params, cfg, mel, lang, COMPUTE, max_tokens=10)
+    flash = greedy_decode(
+        params, cfg, mel, lang,
+        Compute.parity().replace(backend=KernelBackend.PALLAS),
+        max_tokens=10,
+    )
+    np.testing.assert_array_equal(np.asarray(xla.tokens), np.asarray(flash.tokens))
+
+
 def test_jit_greedy_decode(params):
     """The whole transcription is one compiled program (static cfg/compute)."""
     import functools

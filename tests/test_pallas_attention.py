@@ -1,0 +1,91 @@
+"""Flash-decode attention kernel vs the einsum reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_burn_tpu.models.attention import attention, length_mask
+from whisper_burn_tpu.ops import Compute
+from whisper_burn_tpu.ops.pallas_attention import (
+    decode_attention_unnormalized,
+    flash_merge_extra_key,
+    normalize,
+)
+
+COMPUTE = Compute.parity()
+
+
+def _setup(b, t, d, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, 1, d)).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32) * 0.5)
+    return q, k, v
+
+
+@pytest.mark.parametrize("b,t,d,h", [(2, 64, 128, 2), (3, 1536, 256, 4), (2, 256, 640, 10)])
+def test_full_length_matches_einsum(b, t, d, h):
+    q, k, v = _setup(b, t, d)
+    res = decode_attention_unnormalized(q, k, v, jnp.asarray(t), h, interpret=True)
+    assert res is not None
+    acc, m, l = res
+    out = normalize(acc, l, h)
+    ref = attention(q, k, v, h, mask=None, compute=COMPUTE)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("valid", [1, 5, 63, 64, 100])
+def test_masked_length_matches_einsum(valid):
+    b, t, d, h = 2, 128, 128, 2
+    q, k, v = _setup(b, t, d, seed=1)
+    res = decode_attention_unnormalized(q, k, v, jnp.asarray(valid), h, interpret=True)
+    acc, m, l = res
+    out = normalize(acc, l, h)
+    ref = attention(q, k, v, h, mask=length_mask(jnp.asarray(valid), t), compute=COMPUTE)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_extra_key_merge_equals_full_cache():
+    """Deferred-cache semantics: kernel over keys [0,pos) + merged current
+    token == einsum over keys [0,pos]."""
+    b, t, d, h = 2, 128, 128, 2
+    pos = 40
+    q, k, v = _setup(b, t, d, seed=2)
+    k_new = k[:, pos : pos + 1]
+    v_new = v[:, pos : pos + 1]
+
+    acc, m, l = decode_attention_unnormalized(q, k, v, jnp.asarray(pos), h, interpret=True)
+    out = flash_merge_extra_key(acc, m, l, q, k_new, v_new, h)
+
+    ref = attention(q, k, v, h, mask=length_mask(jnp.asarray(pos + 1), t), compute=COMPUTE)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_extra_key_merge_first_position():
+    """pos=0: nothing valid in the cache, output == attention to self only."""
+    b, t, d, h = 1, 64, 128, 2
+    q, k, v = _setup(b, t, d, seed=3)
+    acc, m, l = decode_attention_unnormalized(q, k, v, jnp.asarray(0), h, interpret=True)
+    out = flash_merge_extra_key(acc, m, l, q, k[:, :1], v[:, :1], h)
+    # softmax over a single key = that key's value
+    np.testing.assert_allclose(np.asarray(out), np.asarray(v[:, :1]), atol=2e-5, rtol=1e-4)
+
+
+def test_bf16_inputs():
+    b, t, d, h = 2, 512, 256, 4
+    q, k, v = _setup(b, t, d, seed=4)
+    comp = Compute.fast()
+    res = decode_attention_unnormalized(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        jnp.asarray(t), h, interpret=True,
+    )
+    acc, m, l = res
+    out = normalize(acc, l, h)
+    ref = attention(q, k, v, h, mask=None, compute=COMPUTE)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 2e-2
+
+
+def test_unsupported_shapes_decline():
+    q, k, v = _setup(2, 37, 128, seed=5)  # 37 has no tile
+    assert decode_attention_unnormalized(q, k, v, jnp.asarray(37), 2, interpret=True) is None

@@ -44,10 +44,28 @@ class KVCache(NamedTuple):
     cross_v: jnp.ndarray  # [L, B, n_audio_ctx, D]
 
 
-def init_cache(cfg: WhisperConfig, batch: int, compute: Compute) -> KVCache:
+def init_cache(
+    cfg: WhisperConfig, batch: int, compute: Compute, ctx: int | None = None
+) -> KVCache:
+    """``ctx`` right-sizes the self cache (prompt + max generated tokens);
+    the reference always holds the full 448 (src/model/config.rs:17) but a
+    224-token greedy run only ever touches 228 slots — a free ~2x on
+    self-attention cache bandwidth."""
     l, d = cfg.n_text_layer, cfg.n_text_state
+    ctx = cfg.n_text_ctx if ctx is None else ctx
+    cross_t = cross_cache_len(cfg, compute)
     z = lambda t: jnp.zeros((l, batch, t, d), compute.dtype)
-    return KVCache(z(cfg.n_text_ctx), z(cfg.n_text_ctx), z(cfg.n_audio_ctx), z(cfg.n_audio_ctx))
+    return KVCache(z(ctx), z(ctx), z(cross_t), z(cross_t))
+
+
+def cross_cache_len(cfg: WhisperConfig, compute: Compute) -> int:
+    """Cross-cache time length: padded to a flash-kernel tile multiple when
+    the Pallas path is active (1500 -> 1536; padded keys are masked)."""
+    t = cfg.n_audio_ctx
+    if not compute.use_pallas:
+        return t
+    align = 512 if t >= 512 else 8
+    return -(-t // align) * align
 
 
 def _embed(dec: Params, tokens: jnp.ndarray, positions: jnp.ndarray, compute: Compute) -> jnp.ndarray:
@@ -80,16 +98,21 @@ def _self_attn(bp, h, k_full, v_full, n_heads, mask, compute):
     return attention(q, k_full, v_full, n_heads, mask=mask, compute=compute)
 
 
-def _cross_attn(bp, h, ck, cv, n_heads, compute):
+def _cross_attn(bp, h, ck, cv, n_heads, compute, mask=None):
     q = apply_linear(bp["xattn_q"], h, compute)
-    return attention(q, ck, cv, n_heads, mask=None, compute=compute)
+    return attention(q, ck, cv, n_heads, mask=mask, compute=compute)
 
 
 def compute_cross_kv(
-    params: Params, cfg: WhisperConfig, enc_out: jnp.ndarray, compute: Compute
+    params: Params,
+    cfg: WhisperConfig,
+    enc_out: jnp.ndarray,
+    compute: Compute,
+    pad_to: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Cross-attention K/V for all layers, computed once per utterance
-    (src/model/attention.rs:208-236). Returns ``([L, B, T_enc, D], same)``.
+    (src/model/attention.rs:208-236). Returns ``([L, B, T, D], same)`` with
+    ``T = pad_to`` (zero-padded, mask-covered) or the encoder length.
 
     Kept separate from :func:`prefill` so language auto-detection (an extra
     1-token prompt pass, whisper.py) reuses it instead of re-projecting the
@@ -103,6 +126,10 @@ def compute_cross_kv(
         return None, (ck, cv)
 
     _, (cks, cvs) = jax.lax.scan(block, None, params["decoder"]["blocks"])
+    t = enc_out.shape[1]
+    if pad_to is not None and pad_to > t:
+        pad = ((0, 0), (0, 0), (0, pad_to - t), (0, 0))
+        cks, cvs = jnp.pad(cks, pad), jnp.pad(cvs, pad)
     return cks, cvs
 
 
@@ -125,6 +152,12 @@ def prefill(
     b, t = tokens.shape
     x = _embed(dec, tokens, jnp.arange(pos_offset, pos_offset + t), compute)
     mask = causal_mask(t, t)
+    cross_t = cache.cross_k.shape[2]
+    cross_mask = (
+        length_mask(jnp.asarray(cfg.n_audio_ctx), cross_t)
+        if cross_t != cfg.n_audio_ctx
+        else None
+    )
 
     def block(x, xs):
         bp, ck, cv = xs
@@ -135,7 +168,7 @@ def prefill(
         x = x + apply_linear(bp["attn_o"], a, compute)
 
         h = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
-        a = _cross_attn(bp, h, ck, cv, cfg.n_text_head, compute)
+        a = _cross_attn(bp, h, ck, cv, cfg.n_text_head, compute, cross_mask)
         x = x + apply_linear(bp["xattn_o"], a, compute)
 
         h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
@@ -173,7 +206,17 @@ def decode_step(
     dec = params["decoder"]
     b = token.shape[0]
     x = _embed(dec, token[:, None], pos[None], compute)  # [B, 1, D]
-    mask = length_mask(pos + 1, cfg.n_text_ctx)  # keys beyond pos are padding
+
+    if _flash_supported(cfg, cache, compute):
+        return _decode_step_flash(params, cfg, x, pos, cache, compute)
+
+    mask = length_mask(pos + 1, cache.self_k.shape[2])  # keys beyond pos are padding
+    cross_t = cache.cross_k.shape[2]
+    cross_mask = (
+        length_mask(jnp.asarray(cfg.n_audio_ctx), cross_t)
+        if cross_t != cfg.n_audio_ctx
+        else None
+    )
     layer_idx = jnp.arange(cfg.n_text_layer)
 
     def block(carry, xs):
@@ -191,7 +234,7 @@ def decode_step(
         x = x + apply_linear(bp["attn_o"], a, compute)
 
         h = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
-        a = _cross_attn(bp, h, ck, cv, cfg.n_text_head, compute)
+        a = _cross_attn(bp, h, ck, cv, cfg.n_text_head, compute, cross_mask)
         x = x + apply_linear(bp["xattn_o"], a, compute)
 
         h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
@@ -203,6 +246,82 @@ def decode_step(
         block,
         (x, cache.self_k, cache.self_v),
         (params["decoder"]["blocks"], cache.cross_k, cache.cross_v, layer_idx),
+    )
+    logits = _logits(dec, x[:, 0], cfg, compute)
+    return logits, cache._replace(self_k=sk, self_v=sv)
+
+
+def _flash_supported(cfg: WhisperConfig, cache: KVCache, compute: Compute) -> bool:
+    """Static dispatch check for the Pallas flash-decode path."""
+    from whisper_burn_tpu.ops.pallas_attention import H_PAD, _largest_tile
+
+    if not compute.use_pallas:
+        return False
+    if cfg.n_text_head > H_PAD or cfg.n_text_state % cfg.n_text_head != 0:
+        return False
+    return (
+        _largest_tile(cache.self_k.shape[2]) is not None
+        and _largest_tile(cache.cross_k.shape[2]) is not None
+    )
+
+
+def _decode_step_flash(
+    params: Params,
+    cfg: WhisperConfig,
+    x: jnp.ndarray,
+    pos: jnp.ndarray,
+    cache: KVCache,
+    compute: Compute,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Flash-decode path: the Pallas kernel reads the layered cache in place
+    (scalar-prefetched layer index), the current token is flash-merged as an
+    extra key, and the cache update is ONE deferred dynamic_update_slice per
+    K/V — the per-step cache traffic is exactly one read of the live keys."""
+    from whisper_burn_tpu.ops.pallas_attention import (
+        decode_attention_layer,
+        flash_merge_extra_key,
+        normalize,
+    )
+
+    dec = params["decoder"]
+    h = cfg.n_text_head
+    t_enc = jnp.asarray(cfg.n_audio_ctx, jnp.int32)  # padded tail is masked
+    layer_idx = jnp.arange(cfg.n_text_layer)
+
+    def block(x, xs):
+        bp, l = xs
+
+        hdn = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
+        q = apply_linear(bp["attn_q"], hdn, compute)
+        k_new = apply_linear(bp["attn_k"], hdn, compute)
+        v_new = apply_linear(bp["attn_v"], hdn, compute)
+        acc, m, lsum = decode_attention_layer(
+            q, cache.self_k, cache.self_v, l, pos, h
+        )
+        a = flash_merge_extra_key(acc, m, lsum, q, k_new, v_new, h).astype(compute.dtype)
+        x = x + apply_linear(bp["attn_o"], a, compute)
+
+        hdn = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
+        qx = apply_linear(bp["xattn_q"], hdn, compute)
+        acc, m, lsum = decode_attention_layer(
+            qx, cache.cross_k, cache.cross_v, l, t_enc, h
+        )
+        a = normalize(acc, lsum, h).astype(compute.dtype)
+        x = x + apply_linear(bp["xattn_o"], a, compute)
+
+        hdn = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
+        hdn = gelu(apply_linear(bp["fc1"], hdn, compute), cfg.gelu)
+        x = x + apply_linear(bp["fc2"], hdn, compute)
+        return x, (k_new, v_new)
+
+    x, (ks, vs) = jax.lax.scan(block, x, (dec["blocks"], layer_idx))
+
+    # deferred cache write: one slot across all layers
+    sk = jax.lax.dynamic_update_slice(
+        cache.self_k, ks.astype(cache.self_k.dtype), (0, 0, pos, 0)
+    )
+    sv = jax.lax.dynamic_update_slice(
+        cache.self_v, vs.astype(cache.self_v.dtype), (0, 0, pos, 0)
     )
     logits = _logits(dec, x[:, 0], cfg, compute)
     return logits, cache._replace(self_k=sk, self_v=sv)

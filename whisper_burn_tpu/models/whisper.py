@@ -90,8 +90,12 @@ def greedy_decode(
     b = mel.shape[0]
     enc_out = encode(params, mel, cfg, compute)
 
-    cache = init_cache(cfg, b, compute)
-    ck, cv = compute_cross_kv(params, cfg, enc_out, compute)
+    # right-size the self cache: prompt + generated tokens, 64-aligned
+    ctx = min(cfg.n_text_ctx, max(64, -(-(PROMPT_LEN + max_tokens) // 64) * 64))
+    cache = init_cache(cfg, b, compute, ctx=ctx)
+    ck, cv = compute_cross_kv(
+        params, cfg, enc_out, compute, pad_to=cache.cross_k.shape[2]
+    )
     cache = cache._replace(cross_k=ck, cross_v=cv)
 
     if detect:

@@ -1,0 +1,221 @@
+"""Flash-decode attention kernel: single-query attention over a KV cache.
+
+Decode-step attention (q_len=1) is pure HBM bandwidth: the cost is reading
+K and V once. The XLA einsum path reshapes [B, T, D] -> [B, H, T, dh=64]
+— a physical transpose whose 64-wide minor dim pads to 128 lanes, so the
+cache is effectively read ~4x per step. This kernel reads the cache in its
+native layered layout ``[L, B, T, D]`` (D on lanes) exactly once: the
+layer index is a **scalar-prefetch** argument consumed by the BlockSpec
+index_map, so the per-layer slice is DMA'd straight from the full cache in
+HBM — no host-side slicing, no copies, and the cache never moves through
+the scan carry.
+
+Head handling is fully vectorized via two constant "head maps" instead of
+per-head loops or transposes:
+
+* ``qmat[b, d, g] = q[b, d] * (g == head(d))`` -> scores for ALL heads are
+  one MXU matmul ``s = K_tile @ qmat[b]`` giving ``[kt, Hp]``;
+* ``emat[g, d] = (g == head(d))`` -> per-head softmax weights broadcast
+  back to the D axis with one matmul; the weighted value sum is then an
+  elementwise multiply + key-axis reduction (VPU).
+
+Flash running max/sum (f32) accumulates across key tiles; key positions
+``>= valid_len`` are masked. Outputs are **unnormalized**:
+``(acc [B,1,D], m [B,1,H], l [B,1,H])`` so the caller can flash-merge one
+extra key — the current token, whose K/V is *not yet* in the cache because
+decoder.py defers the cache write to one dynamic_update_slice per step —
+and then divide by ``l``.
+
+Used for decoder self-attention (valid_len = pos, + merged current token)
+and cross-attention (valid_len = T_enc, no extra key).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_BIG = -1e30
+H_PAD = 128  # lane width for the per-head m/l state
+
+
+def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, acc_ref, m_ref, l_ref, *, scale, kt):
+    t_step = pl.program_id(1)
+
+    @pl.when(t_step == 0)
+    def _():
+        acc_ref[0] = jnp.zeros_like(acc_ref[0])
+        m_ref[0] = jnp.full_like(m_ref[0], NEG_BIG)
+        l_ref[0] = jnp.zeros_like(l_ref[0])
+
+    valid = scalar_ref[1]
+    k = k_ref[0, 0]  # [kt, D]
+    v = v_ref[0, 0]
+    qmat = qmat_ref[0]  # [D, H_PAD]
+    emat = emat_ref[:]  # [H_PAD, D]
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (kt, 1), 0) + t_step * kt
+    in_range = j < valid  # [kt, 1]
+
+    # scores for all heads in one MXU op; padded head columns carry zeros
+    # in qmat, their m/l state is garbage but sliced away by the wrapper.
+    s = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # [kt, Hp]
+    s = jnp.where(in_range, s, NEG_BIG)
+
+    m_prev = m_ref[0]  # [1, Hp]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+    p = jnp.where(in_range, jnp.exp(s - m_new), 0.0)  # [kt, Hp] f32
+    alpha = jnp.exp(m_prev - m_new)  # [1, Hp]
+
+    l_ref[0] = l_ref[0] * alpha + jnp.sum(p, axis=0, keepdims=True)
+    m_ref[0] = m_new
+
+    # broadcast per-head weights across each head's dh lanes, then reduce
+    # over the key axis: acc_d += sum_t p[t, head(d)] * v[t, d]
+    p_full = jnp.dot(p.astype(v.dtype), emat, preferred_element_type=jnp.float32)  # [kt, D]
+    pv = jnp.sum(p_full * v.astype(jnp.float32), axis=0, keepdims=True)  # [1, D]
+    alpha_full = jnp.dot(alpha.astype(v.dtype), emat, preferred_element_type=jnp.float32)
+    acc_ref[0] = acc_ref[0] * alpha_full + pv
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "kt", "interpret"))
+def _decode_attn_call(q, k4, v4, scalars, *, n_heads, kt, interpret):
+    l_dim, b, t, d = k4.shape
+    dh = d // n_heads
+    scale = 1.0 / np.sqrt(dh)
+
+    head_of_d = np.arange(d) // dh  # [D]
+    dmask = head_of_d[:, None] == np.arange(H_PAD)[None, :]  # [D, Hp]
+    dmask = jnp.asarray(dmask, q.dtype)
+    qmat = q.reshape(b, d, 1) * dmask[None]  # [B, D, Hp]
+    emat = dmask.T  # [Hp, D]
+
+    grid = (b, t // kt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # scalars = [layer, valid_len]
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, d, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H_PAD, d), lambda b, s, sc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kt, d), lambda b, s, sc: (sc[0], b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kt, d), lambda b, s, sc: (sc[0], b, s, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    acc, m, l = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, kt=kt),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, H_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, H_PAD), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(scalars, qmat, emat, k4, v4)
+    return acc, m[..., :n_heads], l[..., :n_heads]
+
+
+def decode_attention_layer(
+    q: jnp.ndarray,  # [B, 1, D]
+    k4: jnp.ndarray,  # [L, B, T, D] full layered cache
+    v4: jnp.ndarray,  # [L, B, T, D]
+    layer: jnp.ndarray,  # scalar int32 layer index
+    valid_len: jnp.ndarray,  # scalar int32: keys [0, valid_len) participate
+    n_heads: int,
+    *,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None:
+    """Attention of one query over layer ``layer`` of a layered KV cache.
+
+    Returns ``(acc [B,1,D] f32, m [B,1,H], l [B,1,H])`` unnormalized, or
+    None if the shape is unsupported (caller falls back to XLA).
+    """
+    _, b, t, d = k4.shape
+    if d % n_heads != 0 or q.shape != (b, 1, d) or n_heads > H_PAD:
+        return None
+    kt = _largest_tile(t)
+    if kt is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    scalars = jnp.stack(
+        [jnp.asarray(layer, jnp.int32), jnp.asarray(valid_len, jnp.int32)]
+    )
+    return _decode_attn_call(q, k4, v4, scalars, n_heads=n_heads, kt=kt, interpret=interpret)
+
+
+def decode_attention_unnormalized(
+    q: jnp.ndarray,  # [B, 1, D]
+    k: jnp.ndarray,  # [B, T, D]
+    v: jnp.ndarray,  # [B, T, D]
+    valid_len: jnp.ndarray,
+    n_heads: int,
+    *,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None:
+    """Single-layer convenience wrapper over :func:`decode_attention_layer`."""
+    return decode_attention_layer(
+        q, k[None], v[None], jnp.asarray(0), valid_len, n_heads, interpret=interpret
+    )
+
+
+def _largest_tile(t: int) -> int | None:
+    # tiles must be sublane-aligned (divisible by 8) per Mosaic block rules
+    for kt in (512, 384, 256, 128, 64, 32, 16, 8):
+        if t % kt == 0:
+            return kt
+    return None
+
+
+def flash_merge_extra_key(
+    acc: jnp.ndarray,  # [B, 1, D] f32 unnormalized
+    m: jnp.ndarray,  # [B, 1, H]
+    l: jnp.ndarray,  # [B, 1, H]
+    q: jnp.ndarray,  # [B, 1, D]
+    k_new: jnp.ndarray,  # [B, 1, D] the current token's key
+    v_new: jnp.ndarray,  # [B, 1, D]
+    n_heads: int,
+) -> jnp.ndarray:
+    """Merge one extra key/value into the flash state and normalize.
+
+    This lets the decoder attend to the token being decoded *before* its
+    K/V lands in the cache, so the cache write becomes a single deferred
+    ``dynamic_update_slice`` (no per-layer full-cache rewrites).
+    Returns the normalized attention output ``[B, 1, D]`` f32.
+    """
+    b, _, d = q.shape
+    dh = d // n_heads
+    scale = 1.0 / (dh**0.5)
+
+    qf = q.astype(jnp.float32).reshape(b, n_heads, dh)
+    kf = k_new.astype(jnp.float32).reshape(b, n_heads, dh)
+    s_e = jnp.sum(qf * kf, axis=-1)[:, None, :] * scale  # [B, 1, H]
+
+    m2 = jnp.maximum(m, s_e)
+    alpha = jnp.exp(m - m2)  # rescale old state
+    beta = jnp.exp(s_e - m2)  # new key weight
+    l2 = l * alpha + beta
+
+    alpha_full = jnp.repeat(alpha, dh, axis=-1)  # [B, 1, D]
+    beta_full = jnp.repeat(beta, dh, axis=-1)
+    l2_full = jnp.repeat(l2, dh, axis=-1)
+    out = (acc * alpha_full + beta_full * v_new.astype(jnp.float32)) / l2_full
+    return out
+
+
+def normalize(acc: jnp.ndarray, l: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """acc / l with per-head broadcast (cross-attention: no extra key)."""
+    d = acc.shape[-1]
+    return acc / jnp.repeat(l, d // n_heads, axis=-1)
