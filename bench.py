@@ -1,8 +1,10 @@
 """Headline benchmark: audio-seconds/s per chip, Large-V3 Q4_0 greedy decode.
 
 Runs the full compiled transcription step (log-mel -> encoder -> prefill ->
-224-token greedy while_loop) on one chip with a 16-utterance data-parallel
-batch, bf16 compute, fused Pallas Q4 matmuls. Weights are
+224-token greedy while_loop) on one chip with a 32-utterance data-parallel
+batch, bf16 compute, fused-QKV Pallas Q4 matmuls, the flash-decode
+attention kernel, and an int8 cross-KV cache (per-channel scales folded
+outside the kernel). Override via env: BENCH_BATCH, BENCH_KV=bf16. Weights are
 fabricated-quantized at real Large-V3 shapes (no checkpoint download is
 possible in this environment; the arithmetic/bandwidth profile is
 identical to a real Q4_0 checkpoint). Random weights never emit EOT early,
@@ -18,12 +20,13 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-BATCH = 16
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 SECONDS_PER_UTTERANCE = 30.0
 TIMED_ITERS = 3
 TARGET_AUDIO_S_PER_S = 100.0  # BASELINE.md: >=100x real-time per chip
@@ -41,7 +44,9 @@ def main() -> None:
     from whisper_burn_tpu.transcribe import prepare_params
 
     cfg = WhisperConfig.large_v3()
-    compute = Compute.fast()
+    compute = (
+        Compute.fast() if os.environ.get("BENCH_KV") == "bf16" else Compute.fastest()
+    )
     params = prepare_params(fabricated_quantized_params(cfg, seed=0), compute)
     mel_frontend = MelFrontend(n_mels=cfg.n_mels, norm="slaney")
 

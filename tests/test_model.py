@@ -188,3 +188,45 @@ def test_jit_greedy_decode(params):
     res = fn(params, CFG, mel, lang, COMPUTE)
     ref = greedy_decode(params, CFG, mel, lang, COMPUTE, max_tokens=8)
     np.testing.assert_array_equal(np.asarray(res.tokens), np.asarray(ref.tokens))
+
+
+def test_fused_qkv_matches_unfused(params):
+    """fuse_attention_params changes matmul shape, not results."""
+    from whisper_burn_tpu.models.params import fuse_attention_params
+
+    fused = fuse_attention_params(params)
+    blocks = fused["decoder"]["blocks"]
+    assert "attn_qkv" in blocks and "attn_q" not in blocks
+    assert "xattn_kv" in blocks and "xattn_k" not in blocks
+
+    mel = _mel(seed=21)
+    lang = jnp.full((2,), CFG.lang_token_start, jnp.int32)
+    a = greedy_decode(params, CFG, mel, lang, COMPUTE, max_tokens=8)
+    b = greedy_decode(fused, CFG, mel, lang, COMPUTE, max_tokens=8)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+    ea = encode(params, mel, CFG, COMPUTE)
+    eb = encode(fused, mel, CFG, COMPUTE)
+    np.testing.assert_allclose(np.asarray(ea), np.asarray(eb), atol=2e-5)
+
+
+def test_int8_cross_kv_close_to_bf16():
+    """Compute.fastest()'s int8 cross cache tracks the full-precision path."""
+    from whisper_burn_tpu.models.decoder import fill_cross_cache
+
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+    params = random_params(cfg, seed=31, quantized=False)
+    mel = _mel(seed=32)[:, : cfg.n_mels, : cfg.n_audio_ctx * 2]
+    enc_out = encode(params, mel, cfg, COMPUTE)
+
+    def run(compute):
+        cache = init_cache(cfg, 2, compute)
+        cache = fill_cross_cache(params, cfg, enc_out, cache, compute)
+        prompt = jnp.tile(jnp.asarray([[SOT, 50259, 50359, 50363]], jnp.int32), (2, 1))
+        logits, cache = prefill(params, cfg, prompt, cache, compute)
+        return np.asarray(logits)[:, : cfg.n_vocab]
+
+    base = run(COMPUTE)
+    quant = run(COMPUTE.replace(kv_dtype=jnp.int8))
+    scale = np.abs(base).max()
+    assert np.abs(base - quant).max() < 0.02 * scale + 0.05

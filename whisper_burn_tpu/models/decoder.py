@@ -32,16 +32,24 @@ from whisper_burn_tpu.models.attention import attention, causal_mask, length_mas
 from whisper_burn_tpu.models.config import WhisperConfig
 from whisper_burn_tpu.models.layers import gelu, layer_norm
 from whisper_burn_tpu.models.params import Params
-from whisper_burn_tpu.ops import Compute, apply_linear
+from whisper_burn_tpu.ops import Compute, apply_linear, cross_kv_proj, qkv_proj
 
 
 class KVCache(NamedTuple):
-    """Preallocated decoder cache (replaces src/model/decoder.rs:16-45)."""
+    """Preallocated decoder cache (replaces src/model/decoder.rs:16-45).
+
+    With an int8 cross cache (``Compute.fastest()``), ``cross_{k,v}_scale``
+    hold per-(layer, channel) dequant scales ``[L, D]`` f32; they fold into
+    the query (K side) and the attention output (V side), so the kernels
+    never touch them.
+    """
 
     self_k: jnp.ndarray  # [L, B, n_text_ctx, D]
     self_v: jnp.ndarray  # [L, B, n_text_ctx, D]
-    cross_k: jnp.ndarray  # [L, B, n_audio_ctx, D]
+    cross_k: jnp.ndarray  # [L, B, n_audio_ctx, D] (compute or int8 dtype)
     cross_v: jnp.ndarray  # [L, B, n_audio_ctx, D]
+    cross_k_scale: jnp.ndarray | None = None  # [L, D] f32 when int8
+    cross_v_scale: jnp.ndarray | None = None
 
 
 def init_cache(
@@ -54,8 +62,12 @@ def init_cache(
     l, d = cfg.n_text_layer, cfg.n_text_state
     ctx = cfg.n_text_ctx if ctx is None else ctx
     cross_t = cross_cache_len(cfg, compute)
-    z = lambda t: jnp.zeros((l, batch, t, d), compute.dtype)
-    return KVCache(z(ctx), z(ctx), z(cross_t), z(cross_t))
+    z = lambda t, dt: jnp.zeros((l, batch, t, d), dt)
+    kv_dt = compute.cross_kv_dtype
+    sc = (jnp.ones((l, d), jnp.float32),) * 2 if compute.quantized_kv else (None, None)
+    return KVCache(
+        z(ctx, compute.dtype), z(ctx, compute.dtype), z(cross_t, kv_dt), z(cross_t, kv_dt), *sc
+    )
 
 
 def cross_cache_len(cfg: WhisperConfig, compute: Compute) -> int:
@@ -93,11 +105,6 @@ def _logits(dec: Params, x: jnp.ndarray, cfg: WhisperConfig, compute: Compute) -
     return jnp.where(pad[None, :], -jnp.inf, logits)
 
 
-def _self_attn(bp, h, k_full, v_full, n_heads, mask, compute):
-    q = apply_linear(bp["attn_q"], h, compute)
-    return attention(q, k_full, v_full, n_heads, mask=mask, compute=compute)
-
-
 def _cross_attn(bp, h, ck, cv, n_heads, compute, mask=None):
     q = apply_linear(bp["xattn_q"], h, compute)
     return attention(q, ck, cv, n_heads, mask=mask, compute=compute)
@@ -121,8 +128,7 @@ def compute_cross_kv(
     enc = enc_out.astype(compute.dtype)
 
     def block(_, bp):
-        ck = apply_linear(bp["xattn_k"], enc, compute)
-        cv = apply_linear(bp["xattn_v"], enc, compute)
+        ck, cv = cross_kv_proj(bp, enc, compute)
         return None, (ck, cv)
 
     _, (cks, cvs) = jax.lax.scan(block, None, params["decoder"]["blocks"])
@@ -131,6 +137,43 @@ def compute_cross_kv(
         pad = ((0, 0), (0, 0), (0, pad_to - t), (0, 0))
         cks, cvs = jnp.pad(cks, pad), jnp.pad(cvs, pad)
     return cks, cvs
+
+
+def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(layer, channel) symmetric int8 quantization of [L, B, T, D]."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2))  # [L, D]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[:, None, None, :]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
+def fill_cross_cache(
+    params: Params,
+    cfg: WhisperConfig,
+    enc_out: jnp.ndarray,
+    cache: KVCache,
+    compute: Compute,
+) -> KVCache:
+    """Project encoder output to cross K/V and store (optionally int8)."""
+    ck, cv = compute_cross_kv(
+        params, cfg, enc_out, compute, pad_to=cache.cross_k.shape[2]
+    )
+    if not compute.quantized_kv:
+        return cache._replace(cross_k=ck, cross_v=cv)
+    ck_q, k_scale = _quantize_kv(ck)
+    cv_q, v_scale = _quantize_kv(cv)
+    return cache._replace(
+        cross_k=ck_q, cross_v=cv_q, cross_k_scale=k_scale, cross_v_scale=v_scale
+    )
+
+
+def _dequant_layer(c: jnp.ndarray, scale: jnp.ndarray | None, dtype) -> jnp.ndarray:
+    """[B, T, D] int8 + [D] scale -> compute dtype (no-op when unquantized)."""
+    if scale is None:
+        return c
+    return c.astype(dtype) * scale.astype(dtype)[None, None, :]
 
 
 def prefill(
@@ -159,14 +202,21 @@ def prefill(
         else None
     )
 
+    quantized_cross = cache.cross_k_scale is not None
+    dummy = jnp.zeros((cfg.n_text_layer, 0), jnp.float32)
+    ksc = cache.cross_k_scale if quantized_cross else dummy
+    vsc = cache.cross_v_scale if quantized_cross else dummy
+
     def block(x, xs):
-        bp, ck, cv = xs
+        bp, ck, cv, ks_l, vs_l = xs
         h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
-        k = apply_linear(bp["attn_k"], h, compute)
-        v = apply_linear(bp["attn_v"], h, compute)
-        a = _self_attn(bp, h, k, v, cfg.n_text_head, mask, compute)
+        q, k, v = qkv_proj(bp, h, compute)
+        a = attention(q, k, v, cfg.n_text_head, mask=mask, compute=compute)
         x = x + apply_linear(bp["attn_o"], a, compute)
 
+        if quantized_cross:
+            ck = _dequant_layer(ck, ks_l, compute.dtype)
+            cv = _dequant_layer(cv, vs_l, compute.dtype)
         h = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
         a = _cross_attn(bp, h, ck, cv, cfg.n_text_head, compute, cross_mask)
         x = x + apply_linear(bp["xattn_o"], a, compute)
@@ -177,7 +227,7 @@ def prefill(
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(
-        block, x, (params["decoder"]["blocks"], cache.cross_k, cache.cross_v)
+        block, x, (params["decoder"]["blocks"], cache.cross_k, cache.cross_v, ksc, vsc)
     )
 
     sl = (slice(None), slice(None), slice(pos_offset, pos_offset + t))
@@ -218,21 +268,27 @@ def decode_step(
         else None
     )
     layer_idx = jnp.arange(cfg.n_text_layer)
+    quantized_cross = cache.cross_k_scale is not None
+    dummy = jnp.zeros((cfg.n_text_layer, 0), jnp.float32)
+    ksc = cache.cross_k_scale if quantized_cross else dummy
+    vsc = cache.cross_v_scale if quantized_cross else dummy
 
     def block(carry, xs):
         x, sk, sv = carry
-        bp, ck, cv, l = xs
+        bp, ck, cv, ks_l, vs_l, l = xs
 
         h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
-        k = apply_linear(bp["attn_k"], h, compute)  # [B, 1, D]
-        v = apply_linear(bp["attn_v"], h, compute)
+        q, k, v = qkv_proj(bp, h, compute)  # [B, 1, D] each
         sk = jax.lax.dynamic_update_slice(sk, k[None], (l, 0, pos, 0))
         sv = jax.lax.dynamic_update_slice(sv, v[None], (l, 0, pos, 0))
         k_full = jax.lax.dynamic_index_in_dim(sk, l, 0, keepdims=False)
         v_full = jax.lax.dynamic_index_in_dim(sv, l, 0, keepdims=False)
-        a = _self_attn(bp, h, k_full, v_full, cfg.n_text_head, mask, compute)
+        a = attention(q, k_full, v_full, cfg.n_text_head, mask=mask, compute=compute)
         x = x + apply_linear(bp["attn_o"], a, compute)
 
+        if quantized_cross:
+            ck = _dequant_layer(ck, ks_l, compute.dtype)
+            cv = _dequant_layer(cv, vs_l, compute.dtype)
         h = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
         a = _cross_attn(bp, h, ck, cv, cfg.n_text_head, compute, cross_mask)
         x = x + apply_linear(bp["xattn_o"], a, compute)
@@ -245,7 +301,7 @@ def decode_step(
     (x, sk, sv), _ = jax.lax.scan(
         block,
         (x, cache.self_k, cache.self_v),
-        (params["decoder"]["blocks"], cache.cross_k, cache.cross_v, layer_idx),
+        (params["decoder"]["blocks"], cache.cross_k, cache.cross_v, ksc, vsc, layer_idx),
     )
     logits = _logits(dec, x[:, 0], cfg, compute)
     return logits, cache._replace(self_k=sk, self_v=sv)
@@ -287,14 +343,13 @@ def _decode_step_flash(
     h = cfg.n_text_head
     t_enc = jnp.asarray(cfg.n_audio_ctx, jnp.int32)  # padded tail is masked
     layer_idx = jnp.arange(cfg.n_text_layer)
+    quantized_cross = cache.cross_k_scale is not None
 
     def block(x, xs):
         bp, l = xs
 
         hdn = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
-        q = apply_linear(bp["attn_q"], hdn, compute)
-        k_new = apply_linear(bp["attn_k"], hdn, compute)
-        v_new = apply_linear(bp["attn_v"], hdn, compute)
+        q, k_new, v_new = qkv_proj(bp, hdn, compute)
         acc, m, lsum = decode_attention_layer(
             q, cache.self_k, cache.self_v, l, pos, h
         )
@@ -303,9 +358,17 @@ def _decode_step_flash(
 
         hdn = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
         qx = apply_linear(bp["xattn_q"], hdn, compute)
+        if quantized_cross:
+            # per-channel int8 scales fold outside the kernel: K scale into
+            # the query, V scale into the unnormalized accumulator
+            ks_l = jax.lax.dynamic_index_in_dim(cache.cross_k_scale, l, 0, keepdims=False)
+            vs_l = jax.lax.dynamic_index_in_dim(cache.cross_v_scale, l, 0, keepdims=False)
+            qx = qx * ks_l.astype(qx.dtype)[None, None, :]
         acc, m, lsum = decode_attention_layer(
             qx, cache.cross_k, cache.cross_v, l, t_enc, h
         )
+        if quantized_cross:
+            acc = acc * vs_l.astype(acc.dtype)[None, None, :]
         a = normalize(acc, lsum, h).astype(compute.dtype)
         x = x + apply_linear(bp["xattn_o"], a, compute)
 

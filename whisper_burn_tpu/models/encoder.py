@@ -20,15 +20,13 @@ from whisper_burn_tpu.models.attention import attention
 from whisper_burn_tpu.models.config import WhisperConfig
 from whisper_burn_tpu.models.layers import conv1d, gelu, layer_norm
 from whisper_burn_tpu.models.params import Params
-from whisper_burn_tpu.ops import Compute, apply_linear
+from whisper_burn_tpu.ops import Compute, apply_linear, qkv_proj
 
 
 def encoder_block(x: jnp.ndarray, bp: Params, cfg: WhisperConfig, compute: Compute) -> jnp.ndarray:
     """One pre-norm encoder block (src/model/encoder.rs:37-49)."""
     h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
-    q = apply_linear(bp["attn_q"], h, compute)
-    k = apply_linear(bp["attn_k"], h, compute)
-    v = apply_linear(bp["attn_v"], h, compute)
+    q, k, v = qkv_proj(bp, h, compute)
     a = attention(q, k, v, cfg.n_audio_head, mask=None, compute=compute)
     x = x + apply_linear(bp["attn_o"], a, compute)
 

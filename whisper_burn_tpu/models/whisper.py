@@ -34,8 +34,8 @@ import jax.numpy as jnp
 from whisper_burn_tpu.models.config import EOT, MAX_TOKENS, MIN_TOKENS, SOT, WhisperConfig
 from whisper_burn_tpu.models.decoder import (
     KVCache,
-    compute_cross_kv,
     decode_step,
+    fill_cross_cache,
     init_cache,
     prefill,
 )
@@ -93,10 +93,7 @@ def greedy_decode(
     # right-size the self cache: prompt + generated tokens, 64-aligned
     ctx = min(cfg.n_text_ctx, max(64, -(-(PROMPT_LEN + max_tokens) // 64) * 64))
     cache = init_cache(cfg, b, compute, ctx=ctx)
-    ck, cv = compute_cross_kv(
-        params, cfg, enc_out, compute, pad_to=cache.cross_k.shape[2]
-    )
-    cache = cache._replace(cross_k=ck, cross_v=cv)
+    cache = fill_cross_cache(params, cfg, enc_out, cache, compute)
 
     if detect:
         detected = detect_language(params, cfg, cache, compute)

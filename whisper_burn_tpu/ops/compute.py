@@ -30,6 +30,10 @@ class Compute:
     dtype: jnp.dtype = jnp.float32
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     backend: KernelBackend = KernelBackend.AUTO
+    # cross-KV cache storage dtype; None = same as ``dtype``. int8 halves
+    # the dominant decode-step HBM traffic (the per-token cross-KV read)
+    # using per-(layer, channel) scales that fold outside the kernel.
+    kv_dtype: jnp.dtype | None = None
 
     @classmethod
     def parity(cls) -> "Compute":
@@ -38,6 +42,23 @@ class Compute:
     @classmethod
     def fast(cls) -> "Compute":
         return cls(dtype=jnp.bfloat16, precision=jax.lax.Precision.DEFAULT)
+
+    @classmethod
+    def fastest(cls) -> "Compute":
+        """bf16 compute + int8 cross-KV cache — the serving throughput mode."""
+        return cls(
+            dtype=jnp.bfloat16,
+            precision=jax.lax.Precision.DEFAULT,
+            kv_dtype=jnp.int8,
+        )
+
+    @property
+    def cross_kv_dtype(self):
+        return self.dtype if self.kv_dtype is None else self.kv_dtype
+
+    @property
+    def quantized_kv(self) -> bool:
+        return self.cross_kv_dtype == jnp.int8
 
     def replace(self, **kw) -> "Compute":
         return dataclasses.replace(self, **kw)

@@ -32,3 +32,29 @@ def apply_linear(params: dict, x: jnp.ndarray, compute: Compute) -> jnp.ndarray:
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
+
+
+def qkv_proj(bp: dict, x: jnp.ndarray, compute: Compute):
+    """Self-attention q/k/v — served by one fused [K, 3D] matmul when the
+    params carry ``attn_qkv`` (see models/params.fuse_attention_params)."""
+    if "attn_qkv" in bp:
+        y = apply_linear(bp["attn_qkv"], x, compute)
+        d = y.shape[-1] // 3
+        return y[..., :d], y[..., d : 2 * d], y[..., 2 * d :]
+    return (
+        apply_linear(bp["attn_q"], x, compute),
+        apply_linear(bp["attn_k"], x, compute),
+        apply_linear(bp["attn_v"], x, compute),
+    )
+
+
+def cross_kv_proj(bp: dict, enc: jnp.ndarray, compute: Compute):
+    """Cross-attention k/v from encoder output (fused ``xattn_kv`` aware)."""
+    if "xattn_kv" in bp:
+        y = apply_linear(bp["xattn_kv"], enc, compute)
+        d = y.shape[-1] // 2
+        return y[..., :d], y[..., d:]
+    return (
+        apply_linear(bp["xattn_k"], enc, compute),
+        apply_linear(bp["xattn_v"], enc, compute),
+    )

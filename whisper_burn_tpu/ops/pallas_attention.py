@@ -54,10 +54,12 @@ def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, acc_ref, m_ref, l_ref,
         l_ref[0] = jnp.zeros_like(l_ref[0])
 
     valid = scalar_ref[1]
-    k = k_ref[0, 0]  # [kt, D]
-    v = v_ref[0, 0]
     qmat = qmat_ref[0]  # [D, H_PAD]
     emat = emat_ref[:]  # [H_PAD, D]
+    # int8 caches convert to the compute dtype in VMEM (per-channel scales
+    # are folded into q / the output by the caller)
+    k = k_ref[0, 0].astype(qmat.dtype)  # [kt, D]
+    v = v_ref[0, 0].astype(qmat.dtype)
 
     j = jax.lax.broadcasted_iota(jnp.int32, (kt, 1), 0) + t_step * kt
     in_range = j < valid  # [kt, 1]

@@ -54,10 +54,18 @@ class TranscribeResult:
     lang_token: int
 
 
-def prepare_params(params: Params, compute: Compute) -> Params:
-    """Move params on-device, casting dense weights/embeddings to the compute
-    dtype once (so the decode loop streams bf16, not f32). LayerNorm params,
-    biases, and quant scales stay f32."""
+def prepare_params(params: Params, compute: Compute, fuse: bool = True) -> Params:
+    """Serving-time param preparation: fuse q/k/v projections into wide
+    matmuls (models/params.fuse_attention_params), move on-device, and cast
+    dense weights/embeddings to the compute dtype once (so the decode loop
+    streams bf16, not f32). LayerNorm params, biases, and quant scales stay
+    f32. Pass ``fuse=False`` under tensor parallelism (the fused N axis
+    would shard across the q/k/v boundary).
+    """
+    if fuse:
+        from whisper_burn_tpu.models.params import fuse_attention_params
+
+        params = fuse_attention_params(params)
 
     def cast(path, x):
         leaf = path[-1].key if path else ""
