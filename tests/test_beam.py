@@ -1,0 +1,80 @@
+"""Beam-search decoding tests (tiny config, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_burn_tpu.models import EOT, WhisperConfig, greedy_decode, random_params
+from whisper_burn_tpu.models.beam import beam_decode
+from whisper_burn_tpu.ops import Compute
+from whisper_burn_tpu.ops.compute import KernelBackend
+
+CFG = WhisperConfig.tiny_test()
+COMPUTE = Compute.parity().replace(backend=KernelBackend.XLA)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return random_params(CFG, seed=0, quantized=False)
+
+
+def _mel(b=2, seed=1):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.standard_normal((b, CFG.n_mels, CFG.n_audio_ctx * 2)).astype(np.float32)
+    )
+
+
+def _lang(b=2):
+    return jnp.full((b,), CFG.lang_token_start, jnp.int32)
+
+
+def test_beam_width_1_matches_greedy(params):
+    """W=1 beam search is greedy search."""
+    mel = _mel()
+    g = greedy_decode(params, CFG, mel, _lang(), COMPUTE, max_tokens=8)
+    b = beam_decode(params, CFG, mel, _lang(), COMPUTE, beam_width=1, max_tokens=8)
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.tokens))
+
+
+def test_beam_contract(params):
+    mel = _mel(seed=3)
+    res = beam_decode(params, CFG, mel, _lang(), COMPUTE, beam_width=3, max_tokens=8)
+    toks = np.asarray(res.tokens)
+    assert toks.shape == (2, 8)
+    n_gen = np.asarray(res.n_generated)
+    for row, n in zip(toks, n_gen):
+        assert np.all(row[:n] != EOT)
+        assert np.all(row[n:] == EOT)
+    assert np.all(np.isfinite(np.asarray(res.scores)))
+    # determinism
+    res2 = beam_decode(params, CFG, mel, _lang(), COMPUTE, beam_width=3, max_tokens=8)
+    np.testing.assert_array_equal(toks, np.asarray(res2.tokens))
+
+
+def test_beam_score_at_least_greedy(params):
+    """The beam-best sequence log-prob (alpha=0: raw sum) can't be worse
+    than the greedy sequence it always contains as a candidate prefix path."""
+    mel = _mel(seed=5)
+    g = beam_decode(params, CFG, mel, _lang(), COMPUTE, beam_width=1, max_tokens=6, length_penalty=0.0)
+    b = beam_decode(params, CFG, mel, _lang(), COMPUTE, beam_width=4, max_tokens=6, length_penalty=0.0)
+    assert np.all(np.asarray(b.scores) >= np.asarray(g.scores) - 1e-4)
+
+
+def test_beam_flash_path_matches_xla(params):
+    """Shared-cross-cache kernel path (interpret) == XLA repeated-cache path."""
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+    p = random_params(cfg, seed=7, quantized=False)
+    rng = np.random.default_rng(8)
+    mel = jnp.asarray(
+        rng.standard_normal((2, cfg.n_mels, cfg.n_audio_ctx * 2)).astype(np.float32)
+    )
+    lang = jnp.full((2,), cfg.lang_token_start, jnp.int32)
+    xla = beam_decode(p, cfg, mel, lang, COMPUTE, beam_width=3, max_tokens=6)
+    flash = beam_decode(
+        p, cfg, mel, lang,
+        Compute.parity().replace(backend=KernelBackend.PALLAS),
+        beam_width=3, max_tokens=6,
+    )
+    np.testing.assert_array_equal(np.asarray(xla.tokens), np.asarray(flash.tokens))

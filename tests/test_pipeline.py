@@ -112,3 +112,15 @@ def test_tokenizer_roundtrip(tokenizer):
     assert tokenizer.decode(ids).strip() == "hello world"
     # decode_transcription filters special/eot ids
     assert tokenizer.decode_transcription(list(ids) + [50257, 50258]) == "hello world"
+
+
+def test_pipeline_beam_search(model, tokenizer):
+    from whisper_burn_tpu.ops.compute import KernelBackend
+
+    compute = Compute.parity().replace(backend=KernelBackend.XLA)
+    pipe = WhisperPipeline(
+        model, tokenizer, compute=compute, max_tokens=6, beam_width=3
+    )
+    res = pipe.transcribe(_tone(), language="en")
+    assert isinstance(res.text, str)
+    assert len(res.tokens) <= 6

@@ -20,15 +20,18 @@ import sys
 
 def _cmd_transcribe(args: argparse.Namespace) -> int:
     from whisper_burn_tpu.audio.io import load_wav
-    from whisper_burn_tpu.gguf.loader import load_whisper_from_gguf
+    from whisper_burn_tpu.gguf.cache import load_whisper
     from whisper_burn_tpu.ops import Compute
     from whisper_burn_tpu.tokenizer import WhisperTokenizer
     from whisper_burn_tpu.transcribe import WhisperPipeline
 
-    model = load_whisper_from_gguf(args.model)
+    model = load_whisper(args.model)  # repacked-cache-aware loader
     tokenizer = WhisperTokenizer.from_file(args.tokenizer) if args.tokenizer else None
     compute = Compute.fast() if args.bf16 else Compute.parity()
-    pipe = WhisperPipeline(model, tokenizer, compute=compute, frontend=args.frontend)
+    pipe = WhisperPipeline(
+        model, tokenizer, compute=compute, frontend=args.frontend,
+        beam_width=args.beam, max_tokens=args.max_tokens,
+    )
 
     for path in args.audio:
         audio = load_wav(path)
@@ -75,6 +78,53 @@ def _cmd_info(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_eval(args: argparse.Namespace) -> int:
+    from whisper_burn_tpu.eval.runner import evaluate_manifest
+    from whisper_burn_tpu.gguf.cache import load_whisper
+    from whisper_burn_tpu.ops import Compute
+    from whisper_burn_tpu.tokenizer import WhisperTokenizer
+    from whisper_burn_tpu.transcribe import WhisperPipeline
+
+    model = load_whisper(args.model)
+    tokenizer = WhisperTokenizer.from_file(args.tokenizer)
+    compute = Compute.fast() if args.bf16 else Compute.parity()
+    pipe = WhisperPipeline(model, tokenizer, compute=compute, beam_width=args.beam)
+    summary = evaluate_manifest(
+        pipe, args.manifest, batch_size=args.batch, language=args.language
+    )
+    print(
+        json.dumps(
+            {
+                "n": summary.n_utterances,
+                "wer": round(summary.wer, 4),
+                "audio_s": round(summary.audio_seconds, 1),
+                "rtf": round(summary.rtf, 2),
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_download(args: argparse.Namespace) -> int:
+    from whisper_burn_tpu.download import download_model
+
+    def progress(received, total):
+        if total:
+            print(f"\r{received / 1e6:.0f}/{total / 1e6:.0f} MB", end="", flush=True)
+
+    gguf, tok = download_model(args.variant, args.models_dir, progress)
+    print(f"\n{gguf}\n{tok}")
+    return 0
+
+
+def _cmd_models(args: argparse.Namespace) -> int:
+    from whisper_burn_tpu.download import list_installed_models
+
+    for path, size in list_installed_models(args.models_dir):
+        print(f"{path}  {size / 1e6:.1f} MB")
+    return 0
+
+
 def _cmd_convert(args: argparse.Namespace) -> int:
     from whisper_burn_tpu.gguf.convert import convert_hf_model
 
@@ -94,6 +144,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--language", default="auto")
     t.add_argument("--frontend", choices=["openai", "reference"], default="openai")
     t.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    t.add_argument("--beam", type=int, default=1, help="beam width (1 = greedy)")
+    t.add_argument("--max-tokens", type=int, default=224, help="decode cap")
     t.add_argument("--long", action="store_true", help="30s-chunked long audio")
     t.add_argument("--json", action="store_true")
     t.set_defaults(fn=_cmd_transcribe)
@@ -106,6 +158,25 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--hf-model", required=True)
     c.add_argument("--output", required=True)
     c.set_defaults(fn=_cmd_convert)
+
+    e = sub.add_parser("eval", help="WER over a JSONL manifest (resumable)")
+    e.add_argument("--model", required=True)
+    e.add_argument("--tokenizer", required=True)
+    e.add_argument("--manifest", required=True)
+    e.add_argument("--language", default="en")
+    e.add_argument("--batch", type=int, default=8)
+    e.add_argument("--beam", type=int, default=1)
+    e.add_argument("--bf16", action="store_true")
+    e.set_defaults(fn=_cmd_eval)
+
+    d = sub.add_parser("download", help="fetch a model variant from HF")
+    d.add_argument("variant", choices=["medium", "large-v3", "large-v3-turbo"])
+    d.add_argument("--models-dir", default="models")
+    d.set_defaults(fn=_cmd_download)
+
+    m = sub.add_parser("models", help="list installed GGUFs")
+    m.add_argument("--models-dir", default="models")
+    m.set_defaults(fn=_cmd_models)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,46 @@
+"""Word error rate and text normalization."""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+
+def normalize_text(text: str) -> str:
+    """Light-weight ASR normalization: casefold, strip punctuation/extra
+    whitespace (a simplified form of the Whisper English normalizer —
+    enough for relative comparisons between this framework's own modes)."""
+    text = unicodedata.normalize("NFKC", text).lower()
+    text = re.sub(r"[^\w\s']", " ", text)
+    text = re.sub(r"\s+", " ", text)
+    return text.strip()
+
+
+def word_errors(reference: str, hypothesis: str) -> tuple[int, int]:
+    """(edit_distance, n_reference_words) after normalization."""
+    ref = normalize_text(reference).split()
+    hyp = normalize_text(hypothesis).split()
+    n, m = len(ref), len(hyp)
+    if n == 0:
+        return (m, 0)
+    # single-row Levenshtein
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        for j in range(1, m + 1):
+            sub = prev[j - 1] + (ref[i - 1] != hyp[j - 1])
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, sub)
+        prev = cur
+    return (prev[m], n)
+
+
+def wer(references: list[str] | str, hypotheses: list[str] | str) -> float:
+    """Corpus-level WER (total errors / total reference words)."""
+    if isinstance(references, str):
+        references, hypotheses = [references], [hypotheses]  # type: ignore[list-item]
+    total_err = total_words = 0
+    for ref, hyp in zip(references, hypotheses, strict=True):
+        e, w = word_errors(ref, hyp)
+        total_err += e
+        total_words += w
+    return total_err / max(total_words, 1)

@@ -16,6 +16,7 @@ from whisper_burn_tpu.models.decoder import (
 )
 from whisper_burn_tpu.models.encoder import encode
 from whisper_burn_tpu.models.params import count_params, random_params, stack_layers
+from whisper_burn_tpu.models.beam import BeamResult, beam_decode
 from whisper_burn_tpu.models.whisper import GreedyResult, detect_language, greedy_decode
 
 __all__ = [
@@ -35,5 +36,7 @@ __all__ = [
     "count_params",
     "GreedyResult",
     "greedy_decode",
+    "BeamResult",
+    "beam_decode",
     "detect_language",
 ]

@@ -246,19 +246,30 @@ def decode_step(
     pos: jnp.ndarray,
     cache: KVCache,
     compute: Compute,
+    batch_groups: int = 1,
 ) -> tuple[jnp.ndarray, KVCache]:
     """One autoregressive step.
 
     ``token: [B]`` at cache position ``pos`` (scalar). Returns
     (``logits [B, Vp]`` f32, updated cache) — counterpart of ``decode_step``
     (src/model/decoder.rs:306-348) minus the host readback.
+
+    ``batch_groups > 1`` (beam search) shares each cross-cache entry among
+    that many consecutive streams; only the flash path supports it.
     """
     dec = params["decoder"]
     b = token.shape[0]
     x = _embed(dec, token[:, None], pos[None], compute)  # [B, 1, D]
 
     if _flash_supported(cfg, cache, compute):
-        return _decode_step_flash(params, cfg, x, pos, cache, compute)
+        return _decode_step_flash(
+            params, cfg, x, pos, cache, compute, batch_groups=batch_groups
+        )
+    if batch_groups != 1:
+        raise NotImplementedError(
+            "batch_groups > 1 (shared cross cache) requires the Pallas flash "
+            "decode path; repeat the cross cache per beam for the XLA path"
+        )
 
     mask = length_mask(pos + 1, cache.self_k.shape[2])  # keys beyond pos are padding
     cross_t = cache.cross_k.shape[2]
@@ -328,6 +339,7 @@ def _decode_step_flash(
     pos: jnp.ndarray,
     cache: KVCache,
     compute: Compute,
+    batch_groups: int = 1,
 ) -> tuple[jnp.ndarray, KVCache]:
     """Flash-decode path: the Pallas kernel reads the layered cache in place
     (scalar-prefetched layer index), the current token is flash-merged as an
@@ -365,7 +377,8 @@ def _decode_step_flash(
             vs_l = jax.lax.dynamic_index_in_dim(cache.cross_v_scale, l, 0, keepdims=False)
             qx = qx * ks_l.astype(qx.dtype)[None, None, :]
         acc, m, lsum = decode_attention_layer(
-            qx, cache.cross_k, cache.cross_v, l, t_enc, h
+            qx, cache.cross_k, cache.cross_v, l, t_enc, h,
+            batch_groups=batch_groups,
         )
         if quantized_cross:
             acc = acc * vs_l.astype(acc.dtype)[None, None, :]

@@ -85,9 +85,12 @@ def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, acc_ref, m_ref, l_ref,
     acc_ref[0] = acc_ref[0] * alpha_full + pv
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "kt", "interpret"))
-def _decode_attn_call(q, k4, v4, scalars, *, n_heads, kt, interpret):
-    l_dim, b, t, d = k4.shape
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "kt", "batch_groups", "interpret")
+)
+def _decode_attn_call(q, k4, v4, scalars, *, n_heads, kt, batch_groups, interpret):
+    l_dim, _, t, d = k4.shape
+    b = q.shape[0]  # stream count; k4 batch = b // batch_groups
     dh = d // n_heads
     scale = 1.0 / np.sqrt(dh)
 
@@ -104,8 +107,16 @@ def _decode_attn_call(q, k4, v4, scalars, *, n_heads, kt, interpret):
         in_specs=[
             pl.BlockSpec((1, d, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H_PAD, d), lambda b, s, sc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kt, d), lambda b, s, sc: (sc[0], b, s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kt, d), lambda b, s, sc: (sc[0], b, s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, kt, d),
+                lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, kt, d),
+                lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -130,22 +141,26 @@ def _decode_attn_call(q, k4, v4, scalars, *, n_heads, kt, interpret):
 
 
 def decode_attention_layer(
-    q: jnp.ndarray,  # [B, 1, D]
+    q: jnp.ndarray,  # [B*G, 1, D] query streams
     k4: jnp.ndarray,  # [L, B, T, D] full layered cache
     v4: jnp.ndarray,  # [L, B, T, D]
     layer: jnp.ndarray,  # scalar int32 layer index
     valid_len: jnp.ndarray,  # scalar int32: keys [0, valid_len) participate
     n_heads: int,
     *,
+    batch_groups: int = 1,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None:
     """Attention of one query over layer ``layer`` of a layered KV cache.
 
-    Returns ``(acc [B,1,D] f32, m [B,1,H], l [B,1,H])`` unnormalized, or
-    None if the shape is unsupported (caller falls back to XLA).
+    ``batch_groups=G > 1`` shares each cache entry among G consecutive
+    query streams (beam search: W beams read their utterance's cross cache
+    without duplicating it). Returns ``(acc [B*G,1,D] f32, m, l)``
+    unnormalized, or None if the shape is unsupported (caller falls back
+    to XLA).
     """
-    _, b, t, d = k4.shape
-    if d % n_heads != 0 or q.shape != (b, 1, d) or n_heads > H_PAD:
+    _, kb, t, d = k4.shape
+    if d % n_heads != 0 or q.shape != (kb * batch_groups, 1, d) or n_heads > H_PAD:
         return None
     kt = _largest_tile(t)
     if kt is None:
@@ -155,7 +170,10 @@ def decode_attention_layer(
     scalars = jnp.stack(
         [jnp.asarray(layer, jnp.int32), jnp.asarray(valid_len, jnp.int32)]
     )
-    return _decode_attn_call(q, k4, v4, scalars, n_heads=n_heads, kt=kt, interpret=interpret)
+    return _decode_attn_call(
+        q, k4, v4, scalars,
+        n_heads=n_heads, kt=kt, batch_groups=batch_groups, interpret=interpret,
+    )
 
 
 def decode_attention_unnormalized(

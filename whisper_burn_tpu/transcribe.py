@@ -25,6 +25,7 @@ src/transcribe.rs:49-51).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Sequence
@@ -41,9 +42,23 @@ from whisper_burn_tpu.gguf.loader import LoadedModel
 from whisper_burn_tpu.languages import lang_token_id
 from whisper_burn_tpu.models.config import MAX_TOKENS, WhisperConfig
 from whisper_burn_tpu.models.params import Params
+from whisper_burn_tpu.models.beam import beam_decode
 from whisper_burn_tpu.models.whisper import greedy_decode
 from whisper_burn_tpu.ops import Compute
 from whisper_burn_tpu.tokenizer import WhisperTokenizer
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist compiled XLA executables across processes (first compile of
+    the full Large-V3 pipeline is expensive; repeat CLI invocations become
+    instant). Called by the pipeline constructor; safe to call twice."""
+    path = path or os.path.expanduser("~/.cache/whisper_burn_tpu/xla")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these flags
+        pass
 
 
 @dataclass
@@ -89,6 +104,7 @@ class WhisperPipeline:
         compute: Compute | None = None,
         frontend: str = "openai",
         max_tokens: int = MAX_TOKENS,
+        beam_width: int = 1,
     ):
         if isinstance(model, LoadedModel):
             cfg, params = model.config, model.params
@@ -103,10 +119,12 @@ class WhisperPipeline:
         else:
             raise ValueError(f"unknown frontend {frontend!r}")
 
+        enable_compilation_cache()
         self.config = cfg
         self.compute = compute or Compute.parity()
         self.tokenizer = tokenizer
         self.max_tokens = max_tokens
+        self.beam_width = beam_width
         self.params = prepare_params(params, self.compute)
         self.mel = MelFrontend(n_mels=cfg.n_mels, norm=mel_norm, dtype=jnp.float32)
         # 30 s (480,000 samples) for real models; derived from the audio
@@ -120,10 +138,16 @@ class WhisperPipeline:
     def _fn(self, batch: int, detect: bool):
         key = (batch, detect)
         if key not in self._jitted:
-            cfg, compute, mel, max_tokens = self.config, self.compute, self.mel, self.max_tokens
+            cfg, compute, mel = self.config, self.compute, self.mel
+            max_tokens, beam_width = self.max_tokens, self.beam_width
 
             def run(params, audio, lang_tokens):
                 features = mel(audio)  # [B, n_mels, 3000]
+                if beam_width > 1:
+                    return beam_decode(
+                        params, cfg, features, lang_tokens, compute,
+                        beam_width=beam_width, detect=detect, max_tokens=max_tokens,
+                    )
                 return greedy_decode(
                     params, cfg, features, lang_tokens, compute,
                     detect=detect, max_tokens=max_tokens,
