@@ -37,6 +37,13 @@ def load_wav(path: str | Path) -> AudioBuffer:
     (src/audio/io.rs:75-114).
     """
     path = Path(path)
+
+    from whisper_burn_tpu import native_host
+
+    native = native_host.load_wav(path)
+    if native is not None:  # C++ RIFF parser fast path
+        return AudioBuffer(samples=native[0], sample_rate=native[1])
+
     with wave.open(str(path), "rb") as w:
         n_channels = w.getnchannels()
         sampwidth = w.getsampwidth()

@@ -25,6 +25,13 @@ def resample(audio: AudioBuffer, target_rate: int) -> AudioBuffer:
         return audio
     g = math.gcd(audio.sample_rate, target_rate)
     up, down = target_rate // g, audio.sample_rate // g
+
+    from whisper_burn_tpu import native_host
+
+    native = native_host.resample_poly(audio.samples, up, down)
+    if native is not None:  # C++ polyphase fast path (same filter design)
+        return AudioBuffer(samples=native, sample_rate=target_rate)
+
     out = resample_poly(audio.samples.astype(np.float64), up, down).astype(np.float32)
     return AudioBuffer(samples=out, sample_rate=target_rate)
 

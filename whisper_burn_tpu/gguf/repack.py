@@ -57,6 +57,13 @@ def repack_q4_0(raw: bytes | np.ndarray, n_out: int, k_in: int) -> QuantizedTens
     """
     if k_in % Q4_BLOCK_SIZE != 0:
         raise ValueError(f"K={k_in} not divisible by {Q4_BLOCK_SIZE}")
+
+    from whisper_burn_tpu import native_host
+
+    native = native_host.repack_q4_0(raw, n_out, k_in)
+    if native is not None:  # multithreaded C++ fast path (bit-identical)
+        return QuantizedTensor(qw=native[0], scales=native[1])
+
     q, d = unpack_q4_0(raw, n_out * k_in)
     qw = np.ascontiguousarray(q.reshape(n_out, k_in).T)  # int8 [K, N]
     scales = np.ascontiguousarray(
