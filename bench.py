@@ -37,6 +37,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from whisper_burn_tpu.audio.mel import MelFrontend
+    from whisper_burn_tpu.transcribe import enable_compilation_cache
+
+    enable_compilation_cache()
     from whisper_burn_tpu.models import WhisperConfig
     from whisper_burn_tpu.models.params import fabricated_quantized_params
     from whisper_burn_tpu.models.whisper import greedy_decode

@@ -134,3 +134,20 @@ def test_download_file_atomic_and_skip(tmp_path):
 
     installed = list_installed_models(tmp_path / "models")
     assert len(installed) == 1 and installed[0][1] == 1000
+
+
+def test_app_config_roundtrip(tmp_path):
+    from whisper_burn_tpu.app_config import AppConfig, load_config, save_config
+
+    p = tmp_path / "cfg" / "config.json"
+    assert load_config(p) == AppConfig()  # missing -> defaults
+    cfg = AppConfig(model="m.gguf", language="fr", beam_width=5, compute="fastest")
+    save_config(cfg, p)
+    assert not p.with_suffix(".json.tmp").exists()
+    assert load_config(p) == cfg
+    # corrupt file -> defaults, no raise
+    p.write_text("{not json")
+    assert load_config(p) == AppConfig()
+    # unknown keys ignored (forward compat)
+    p.write_text('{"language": "de", "bogus": 1}')
+    assert load_config(p).language == "de"

@@ -19,11 +19,20 @@ import sys
 
 
 def _cmd_transcribe(args: argparse.Namespace) -> int:
+    from whisper_burn_tpu.app_config import load_config
     from whisper_burn_tpu.audio.io import load_wav
     from whisper_burn_tpu.gguf.cache import load_whisper
     from whisper_burn_tpu.ops import Compute
     from whisper_burn_tpu.tokenizer import WhisperTokenizer
     from whisper_burn_tpu.transcribe import WhisperPipeline
+
+    # saved defaults fill in anything not given on the command line
+    defaults = load_config()
+    args.model = args.model or defaults.model
+    args.tokenizer = args.tokenizer or defaults.tokenizer
+    if args.model is None:
+        print("no --model given and no saved default (see `config --set`)")
+        return 2
 
     model = load_whisper(args.model)  # repacked-cache-aware loader
     tokenizer = WhisperTokenizer.from_file(args.tokenizer) if args.tokenizer else None
@@ -125,6 +134,26 @@ def _cmd_models(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_config(args: argparse.Namespace) -> int:
+    import dataclasses
+
+    from whisper_burn_tpu.app_config import config_path, load_config, save_config
+
+    cfg = load_config()
+    if args.set:
+        for pair in args.set:
+            key, _, value = pair.partition("=")
+            if not hasattr(cfg, key):
+                print(f"unknown config key {key!r}")
+                return 2
+            field_type = type(getattr(cfg, key) or "")
+            setattr(cfg, key, int(value) if field_type is int else value)
+        save_config(cfg)
+        print(f"saved {config_path()}")
+    print(json.dumps(dataclasses.asdict(cfg), indent=2))
+    return 0
+
+
 def _cmd_convert(args: argparse.Namespace) -> int:
     from whisper_burn_tpu.gguf.convert import convert_hf_model
 
@@ -139,7 +168,7 @@ def main(argv: list[str] | None = None) -> int:
 
     t = sub.add_parser("transcribe", help="transcribe WAV files")
     t.add_argument("audio", nargs="+")
-    t.add_argument("--model", required=True, help="GGUF checkpoint path")
+    t.add_argument("--model", default=None, help="GGUF checkpoint path")
     t.add_argument("--tokenizer", default=None, help="tokenizer.json path")
     t.add_argument("--language", default="auto")
     t.add_argument("--frontend", choices=["openai", "reference"], default="openai")
@@ -177,6 +206,10 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("models", help="list installed GGUFs")
     m.add_argument("--models-dir", default="models")
     m.set_defaults(fn=_cmd_models)
+
+    cf = sub.add_parser("config", help="show or persist CLI defaults")
+    cf.add_argument("--set", nargs="*", metavar="KEY=VALUE", default=[])
+    cf.set_defaults(fn=_cmd_config)
 
     args = parser.parse_args(argv)
     return args.fn(args)
