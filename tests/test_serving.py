@@ -1,0 +1,90 @@
+"""Batching-transcriber and HTTP server tests (tiny model, CPU)."""
+
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+from whisper_burn_tpu.gguf.loader import LoadedModel
+from whisper_burn_tpu.models import WhisperConfig, random_params
+from whisper_burn_tpu.ops import Compute
+from whisper_burn_tpu.ops.compute import KernelBackend
+from whisper_burn_tpu.serving import BatchingTranscriber, serve_http
+from whisper_burn_tpu.transcribe import WhisperPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    cfg = WhisperConfig.tiny_test()
+    params = random_params(cfg, seed=0, quantized=False)
+    compute = Compute.parity().replace(backend=KernelBackend.XLA)
+    return WhisperPipeline(LoadedModel(cfg, params), None, compute=compute, max_tokens=6)
+
+
+def _tone(hz=440.0, seconds=0.5):
+    t = np.arange(int(seconds * 16000)) / 16000
+    return (0.3 * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+def test_batching_transcriber_parallel_submits(pipeline):
+    server = BatchingTranscriber(pipeline, batch_size=4, max_wait_ms=200)
+    try:
+        reqs = [server.submit(_tone(hz=200 + 50 * i), "en") for i in range(6)]
+        results = [r.wait(timeout=300) for r in reqs]
+        assert all(res.tokens is not None for res in results)
+        # identical audio through the batch path == direct pipeline call
+        direct = pipeline.transcribe(_tone(hz=200), language="en")
+        again = server.transcribe(_tone(hz=200), "en", timeout=300)
+        np.testing.assert_array_equal(direct.tokens, again.tokens)
+    finally:
+        server.shutdown()
+
+
+def test_http_server_roundtrip(pipeline):
+    server, transcriber = serve_http(pipeline, port=0, batch_size=2)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as resp:
+            assert json.loads(resp.read())["status"] == "ok"
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((_tone() * 32767).astype("<i2").tobytes())
+        req = urllib.request.Request(
+            f"{base}/v1/transcribe",
+            data=buf.getvalue(),
+            headers={"X-Language": "en"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            body = json.loads(resp.read())
+        assert "text" in body and body["lang_token"] == 50259
+
+        # probe: wrong path -> 404; garbage body -> 400 JSON error
+        try:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        bad = urllib.request.Request(
+            f"{base}/v1/transcribe", data=b"not a wav", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        server.shutdown()
+        transcriber.shutdown()

@@ -134,6 +134,33 @@ def _cmd_models(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_serve(args: argparse.Namespace) -> int:
+    from whisper_burn_tpu.gguf.cache import load_whisper
+    from whisper_burn_tpu.ops import Compute
+    from whisper_burn_tpu.serving import serve_http
+    from whisper_burn_tpu.tokenizer import WhisperTokenizer
+    from whisper_burn_tpu.transcribe import WhisperPipeline
+
+    model = load_whisper(args.model)
+    tokenizer = WhisperTokenizer.from_file(args.tokenizer) if args.tokenizer else None
+    compute = {"parity": Compute.parity, "fast": Compute.fast, "fastest": Compute.fastest}[
+        args.compute
+    ]()
+    pipe = WhisperPipeline(model, tokenizer, compute=compute, beam_width=args.beam)
+    server, transcriber = serve_http(
+        pipe, host=args.host, port=args.port, batch_size=args.batch
+    )
+    print(f"serving on http://{server.server_address[0]}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        transcriber.shutdown()
+    return 0
+
+
 def _cmd_config(args: argparse.Namespace) -> int:
     import dataclasses
 
@@ -206,6 +233,16 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("models", help="list installed GGUFs")
     m.add_argument("--models-dir", default="models")
     m.set_defaults(fn=_cmd_models)
+
+    sv = sub.add_parser("serve", help="HTTP transcription server (dynamic batching)")
+    sv.add_argument("--model", required=True)
+    sv.add_argument("--tokenizer", default=None)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8000)
+    sv.add_argument("--batch", type=int, default=8)
+    sv.add_argument("--beam", type=int, default=1)
+    sv.add_argument("--compute", choices=["parity", "fast", "fastest"], default="fastest")
+    sv.set_defaults(fn=_cmd_serve)
 
     cf = sub.add_parser("config", help="show or persist CLI defaults")
     cf.add_argument("--set", nargs="*", metavar="KEY=VALUE", default=[])

@@ -1,0 +1,201 @@
+"""Dynamic-batching transcription server.
+
+The reference's "serving" is a desktop push-to-talk loop: one mpsc request
+at a time into a dedicated inference thread (src/native/inference.rs:27-66).
+The TPU-native equivalent is a batching front end: requests queue up, a
+single device worker drains them into fixed-size padded batches (hitting
+the pipeline's cached jit signatures), and each caller gets its result
+back — utterance batching is where all the per-chip throughput lives
+(bench: B=32 is ~3.5x the audio-s/s of B=1-style serving).
+
+Two surfaces:
+
+* :class:`BatchingTranscriber` — in-process, thread-safe ``submit()``
+  returning a ``Future``-like handle; the building block.
+* :func:`serve_http` — a stdlib HTTP server: ``POST /v1/transcribe`` with a
+  WAV body (-> JSON), ``GET /healthz``.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import wave
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from whisper_burn_tpu.audio.io import AudioBuffer
+from whisper_burn_tpu.transcribe import TranscribeResult, WhisperPipeline
+
+
+@dataclass
+class _Request:
+    audio: AudioBuffer | np.ndarray
+    language: str | None
+    event: threading.Event = field(default_factory=threading.Event)
+    result: TranscribeResult | None = None
+    error: Exception | None = None
+
+    def wait(self, timeout: float | None = None) -> TranscribeResult:
+        if not self.event.wait(timeout):
+            raise TimeoutError("transcription timed out")
+        if self.error is not None:
+            raise self.error
+        assert self.result is not None
+        return self.result
+
+
+class BatchingTranscriber:
+    """Queue requests; one worker drains them in fixed-size batches.
+
+    ``batch_size`` is the padded compiled batch (requests beyond it wait
+    for the next drain; a partial batch pads with silence so the jit
+    signature — and its cached executable — never changes).
+    ``max_wait_ms`` bounds how long a lone request waits for company.
+    """
+
+    def __init__(
+        self,
+        pipeline: WhisperPipeline,
+        batch_size: int = 8,
+        max_wait_ms: float = 50.0,
+    ):
+        self.pipeline = pipeline
+        self.batch_size = batch_size
+        self.max_wait_ms = max_wait_ms
+        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._running = True
+        self._worker.start()
+
+    # -- client side -------------------------------------------------------
+
+    def submit(self, audio: AudioBuffer | np.ndarray, language: str | None = "auto") -> _Request:
+        req = _Request(audio=audio, language=language)
+        self._queue.put(req)
+        return req
+
+    def transcribe(self, audio, language="auto", timeout=None) -> TranscribeResult:
+        return self.submit(audio, language).wait(timeout)
+
+    def shutdown(self) -> None:
+        self._running = False
+        self._queue.put(None)
+        self._worker.join(timeout=5)
+
+    # -- worker ------------------------------------------------------------
+
+    def _drain(self) -> list[_Request] | None:
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = self.max_wait_ms / 1000.0
+        while len(batch) < self.batch_size:
+            try:
+                nxt = self._queue.get(timeout=deadline)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._queue.put(None)  # re-post the shutdown sentinel
+                break
+            batch.append(nxt)
+        return batch
+
+    def _run(self) -> None:
+        silence = np.zeros(16000, np.float32)
+        while self._running:
+            batch = self._drain()
+            if batch is None:
+                return
+            audios = [r.audio for r in batch]
+            langs = [r.language for r in batch]
+            # pad to the compiled batch size so the jit cache always hits
+            while len(audios) < self.batch_size:
+                audios.append(silence)
+                langs.append("en")
+            try:
+                results = self.pipeline.transcribe_batch(audios, langs)
+                for req, res in zip(batch, results):
+                    req.result = res
+                    req.event.set()
+            except Exception as e:  # propagate to all waiters
+                for req in batch:
+                    req.error = e
+                    req.event.set()
+
+
+def _parse_wav_bytes(data: bytes) -> AudioBuffer:
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_channels = w.getnchannels()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if n_channels > 1:
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return AudioBuffer(samples=np.ascontiguousarray(samples), sample_rate=rate)
+
+
+def serve_http(
+    pipeline: WhisperPipeline,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    batch_size: int = 8,
+):
+    """Blocking stdlib HTTP server; returns the (server, transcriber) pair
+    when constructed with ``port=0`` callers can read the bound port from
+    ``server.server_address``."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    transcriber = BatchingTranscriber(pipeline, batch_size=batch_size)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                body = b'{"status":"ok"}'
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path.rstrip("/") != "/v1/transcribe":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                language = self.headers.get("X-Language", "auto")
+                audio = _parse_wav_bytes(self.rfile.read(length))
+                result = transcriber.transcribe(audio, language, timeout=600)
+                body = json.dumps(
+                    {
+                        "text": result.text,
+                        "inference_ms": round(result.inference_ms, 2),
+                        "lang_token": result.lang_token,
+                    }
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.transcriber = transcriber  # type: ignore[attr-defined]
+    return server, transcriber
