@@ -32,7 +32,7 @@ from whisper_burn_tpu.models.attention import attention, causal_mask, length_mas
 from whisper_burn_tpu.models.config import WhisperConfig
 from whisper_burn_tpu.models.layers import gelu, layer_norm
 from whisper_burn_tpu.models.params import Params
-from whisper_burn_tpu.ops import Compute, apply_linear, cross_kv_proj, qkv_proj
+from whisper_burn_tpu.ops import Compute, apply_ffn, apply_linear, cross_kv_proj, qkv_proj
 
 
 class KVCache(NamedTuple):
@@ -222,8 +222,7 @@ def prefill(
         x = x + apply_linear(bp["xattn_o"], a, compute)
 
         h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
-        h = gelu(apply_linear(bp["fc1"], h, compute), cfg.gelu)
-        x = x + apply_linear(bp["fc2"], h, compute)
+        x = x + apply_ffn(bp, h, cfg.gelu, compute)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(
@@ -305,8 +304,7 @@ def decode_step(
         x = x + apply_linear(bp["xattn_o"], a, compute)
 
         h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
-        h = gelu(apply_linear(bp["fc1"], h, compute), cfg.gelu)
-        x = x + apply_linear(bp["fc2"], h, compute)
+        x = x + apply_ffn(bp, h, cfg.gelu, compute)
         return (x, sk, sv), None
 
     (x, sk, sv), _ = jax.lax.scan(
@@ -386,8 +384,7 @@ def _decode_step_flash(
         x = x + apply_linear(bp["xattn_o"], a, compute)
 
         hdn = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
-        hdn = gelu(apply_linear(bp["fc1"], hdn, compute), cfg.gelu)
-        x = x + apply_linear(bp["fc2"], hdn, compute)
+        x = x + apply_ffn(bp, hdn, cfg.gelu, compute)
         return x, (k_new, v_new)
 
     x, (ks, vs) = jax.lax.scan(block, x, (dec["blocks"], layer_idx))

@@ -20,7 +20,7 @@ from whisper_burn_tpu.models.attention import attention
 from whisper_burn_tpu.models.config import WhisperConfig
 from whisper_burn_tpu.models.layers import conv1d, gelu, layer_norm
 from whisper_burn_tpu.models.params import Params
-from whisper_burn_tpu.ops import Compute, apply_linear, qkv_proj
+from whisper_burn_tpu.ops import Compute, apply_ffn, apply_linear, qkv_proj
 
 
 def encoder_block(x: jnp.ndarray, bp: Params, cfg: WhisperConfig, compute: Compute) -> jnp.ndarray:
@@ -31,8 +31,7 @@ def encoder_block(x: jnp.ndarray, bp: Params, cfg: WhisperConfig, compute: Compu
     x = x + apply_linear(bp["attn_o"], a, compute)
 
     h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
-    h = gelu(apply_linear(bp["fc1"], h, compute), cfg.gelu)
-    return x + apply_linear(bp["fc2"], h, compute)
+    return x + apply_ffn(bp, h, cfg.gelu, compute)
 
 
 def encode(

@@ -58,3 +58,15 @@ def cross_kv_proj(bp: dict, enc: jnp.ndarray, compute: Compute):
         apply_linear(bp["xattn_k"], enc, compute),
         apply_linear(bp["xattn_v"], enc, compute),
     )
+
+
+def apply_ffn(bp: dict, x: jnp.ndarray, gelu_kind: str, compute: Compute) -> jnp.ndarray:
+    """fc1 -> GELU -> fc2, via the fused Pallas FFN kernel when available."""
+    from whisper_burn_tpu.ops.pallas_ffn import _gelu, fused_ffn_pallas
+
+    if compute.use_pallas:
+        y = fused_ffn_pallas(x, bp["fc1"], bp["fc2"], gelu_kind, compute)
+        if y is not None:
+            return y
+    h = _gelu(apply_linear(bp["fc1"], x, compute), gelu_kind)
+    return apply_linear(bp["fc2"], h, compute)

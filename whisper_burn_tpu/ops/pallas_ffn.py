@@ -1,0 +1,148 @@
+"""Fused quantized FFN kernel: ``fc2(gelu(fc1(x)))`` in one pallas_call.
+
+The FFN is two of the six matmuls in every block, and the intermediate
+``h = gelu(x @ W1 + b1)`` is [M, 5120] — in the unfused path it makes an
+HBM round-trip and each matmul pays a kernel-launch cost (measurable per
+decode step: ~200 launches/step). Fusion uses the f-tile accumulation
+identity
+
+    out = b2 + sum_f gelu(x @ W1[:, f] + b1[f]) @ W2[f, :]
+
+— exact (gelu is elementwise in f), so the grid runs ``(M/bm, F/bf)`` with
+the output tile accumulating across the sequential f dimension while
+``h`` only ever exists as a VMEM tile. Both weights are Q4-repacked
+(int8 codes + 32-block scales) and dequantized in VMEM like
+ops/pallas_q4.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Q4_BLOCK = 32
+BF = 512  # f-tile: divides every Whisper ffn_dim (5120, 4096)
+BM_MAX = 256
+
+_SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
+
+
+def _gelu(x, kind):
+    if kind == "erf":
+        return jax.nn.gelu(x, approximate=False)
+    inner = (x + 0.044715 * x * x * x) * _SQRT_2_OVER_PI
+    return x * 0.5 * (jnp.tanh(inner) + 1.0)
+
+
+def _dequant(q, sc, dtype):
+    k, n = q.shape
+    w = q.astype(dtype).reshape(k // Q4_BLOCK, Q4_BLOCK, n) * sc.astype(dtype)[:, None, :]
+    return w.reshape(k, n)
+
+
+def _kernel(
+    x_ref, qw1_ref, s1_ref, b1_ref, qw2_ref, s2_ref, b2_ref, o_ref,
+    *, dtype, precision, gelu_kind,
+):
+    f_step = pl.program_id(1)
+
+    @pl.when(f_step == 0)
+    def _():
+        o_ref[:] = jnp.broadcast_to(b2_ref[:].astype(jnp.float32), o_ref.shape)
+
+    w1 = _dequant(qw1_ref[:], s1_ref[:], dtype)  # [D, bf]
+    h = (
+        jnp.dot(x_ref[:], w1, preferred_element_type=jnp.float32, precision=precision)
+        + b1_ref[:].astype(jnp.float32)
+    )
+    g = _gelu(h, gelu_kind).astype(dtype)  # [bm, bf]
+    w2 = _dequant(qw2_ref[:], s2_ref[:], dtype)  # [bf, D]
+    o_ref[:] += jnp.dot(g, w2, preferred_element_type=jnp.float32, precision=precision)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dtype", "precision", "gelu_kind", "bm", "bf", "interpret"),
+)
+def _ffn_2d(x, qw1, s1, b1, qw2, s2, b2, *, dtype, precision, gelu_kind, bm, bf, interpret):
+    m, d = x.shape
+    f = qw1.shape[1]
+    grid = (m // bm, f // bf)
+    return pl.pallas_call(
+        functools.partial(
+            _kernel, dtype=dtype, precision=precision, gelu_kind=gelu_kind
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d // Q4_BLOCK, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf // Q4_BLOCK, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * f,
+            bytes_accessed=m * d * x.dtype.itemsize + 2 * d * f + m * d * 4,
+            transcendentals=m * f,
+        ),
+        interpret=interpret,
+    )(x, qw1, s1, b1, qw2, s2, b2)
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+def fused_ffn_pallas(
+    x: jnp.ndarray,  # [..., D]
+    fc1: dict,
+    fc2: dict,
+    gelu_kind: str,
+    compute,
+    interpret: bool | None = None,
+) -> jnp.ndarray | None:
+    """Fused FFN if both linears are quantized and shapes tile; else None."""
+    if "qw" not in fc1 or "qw" not in fc2:
+        return None
+    d, f = fc1["qw"].shape
+    if f % BF != 0 or fc2["qw"].shape != (f, d):
+        return None
+    if "b" not in fc1 or "b" not in fc2:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    batch_shape = x.shape[:-1]
+    m = 1
+    for s in batch_shape:
+        m *= s
+    x2 = x.reshape(m, d).astype(compute.dtype)
+    bm = min(BM_MAX, _round_up(m, 8))
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+
+    y = _ffn_2d(
+        x2,
+        fc1["qw"], fc1["scales"], fc1["b"].reshape(1, f),
+        fc2["qw"], fc2["scales"], fc2["b"].reshape(1, d),
+        dtype=compute.dtype,
+        precision=compute.precision,
+        gelu_kind=gelu_kind,
+        bm=bm,
+        bf=BF,
+        interpret=interpret,
+    )
+    return y[:m].astype(compute.dtype).reshape(*batch_shape, d)
