@@ -124,3 +124,22 @@ def test_pipeline_beam_search(model, tokenizer):
     res = pipe.transcribe(_tone(), language="en")
     assert isinstance(res.text, str)
     assert len(res.tokens) <= 6
+
+
+def test_batch_bucketing_pads_to_power_of_two(pipeline):
+    """A 3-utterance batch compiles the 4-wide program and results match."""
+    a, b, c = _tone(hz=300), _tone(hz=400), _tone(hz=500)
+    results = pipeline.transcribe_batch([a, b, c], ["en", "en", "en"])
+    assert len(results) == 3
+    solo = pipeline.transcribe(a, language="en")
+    np.testing.assert_array_equal(results[0].tokens, solo.tokens)
+    assert (4, False) in pipeline._jitted  # bucketed signature
+
+
+def test_translate_task(model, tokenizer):
+    compute = Compute.parity().replace(backend=KernelBackend.XLA)
+    pipe = WhisperPipeline(
+        model, tokenizer, compute=compute, max_tokens=6, task="translate"
+    )
+    res = pipe.transcribe(_tone(), language="de")
+    assert isinstance(res.text, str)

@@ -70,6 +70,7 @@ def beam_decode(
     detect: bool = False,
     max_tokens: int = MAX_TOKENS,
     length_penalty: float = 1.0,
+    task: str = "transcribe",
 ) -> BeamResult:
     """Beam-search transcription of mel ``[B, n_mels, T]``."""
     b = mel.shape[0]
@@ -86,11 +87,15 @@ def beam_decode(
         detected = detect_language(params, cfg, utt_cache, compute)
         lang_tokens = jnp.where(lang_tokens < 0, detected, lang_tokens)
 
+    task_token = {
+        "transcribe": cfg.transcribe_token,
+        "translate": cfg.translate_token,
+    }[task]
     prompt = jnp.stack(
         [
             jnp.full((b,), SOT, jnp.int32),
             lang_tokens.astype(jnp.int32),
-            jnp.full((b,), cfg.transcribe_token, jnp.int32),
+            jnp.full((b,), task_token, jnp.int32),
             jnp.full((b,), cfg.no_timestamps_token, jnp.int32),
         ],
         axis=1,

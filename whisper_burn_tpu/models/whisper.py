@@ -81,11 +81,14 @@ def greedy_decode(
     *,
     detect: bool = False,
     max_tokens: int = MAX_TOKENS,
+    task: str = "transcribe",
 ) -> GreedyResult:
     """Transcribe mel ``[B, n_mels, 3000]`` to token ids.
 
     ``lang_tokens: int32 [B]`` — explicit language token per stream; with
-    ``detect=True``, entries ``< 0`` are auto-detected.
+    ``detect=True``, entries ``< 0`` are auto-detected. ``task`` selects
+    the prompt task token: "transcribe" (reference behavior) or
+    "translate" (to-English; same token layout, src/model/config.rs:67).
     """
     b = mel.shape[0]
     enc_out = encode(params, mel, cfg, compute)
@@ -99,11 +102,15 @@ def greedy_decode(
         detected = detect_language(params, cfg, cache, compute)
         lang_tokens = jnp.where(lang_tokens < 0, detected, lang_tokens)
 
+    task_token = {
+        "transcribe": cfg.transcribe_token,
+        "translate": cfg.translate_token,
+    }[task]
     prompt = jnp.stack(
         [
             jnp.full((b,), SOT, jnp.int32),
             lang_tokens.astype(jnp.int32),
-            jnp.full((b,), cfg.transcribe_token, jnp.int32),
+            jnp.full((b,), task_token, jnp.int32),
             jnp.full((b,), cfg.no_timestamps_token, jnp.int32),
         ],
         axis=1,

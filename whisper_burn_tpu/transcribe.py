@@ -105,6 +105,8 @@ class WhisperPipeline:
         frontend: str = "openai",
         max_tokens: int = MAX_TOKENS,
         beam_width: int = 1,
+        task: str = "transcribe",
+        bucket_batches: bool = True,
     ):
         if isinstance(model, LoadedModel):
             cfg, params = model.config, model.params
@@ -125,6 +127,10 @@ class WhisperPipeline:
         self.tokenizer = tokenizer
         self.max_tokens = max_tokens
         self.beam_width = beam_width
+        self.task = task
+        # round batch sizes up to powers of two (padding with silence) so
+        # arbitrary batch sizes reuse a handful of compiled programs
+        self.bucket_batches = bucket_batches
         self.params = prepare_params(params, self.compute)
         self.mel = MelFrontend(n_mels=cfg.n_mels, norm=mel_norm, dtype=jnp.float32)
         # 30 s (480,000 samples) for real models; derived from the audio
@@ -141,16 +147,19 @@ class WhisperPipeline:
             cfg, compute, mel = self.config, self.compute, self.mel
             max_tokens, beam_width = self.max_tokens, self.beam_width
 
+            task = self.task
+
             def run(params, audio, lang_tokens):
                 features = mel(audio)  # [B, n_mels, 3000]
                 if beam_width > 1:
                     return beam_decode(
                         params, cfg, features, lang_tokens, compute,
-                        beam_width=beam_width, detect=detect, max_tokens=max_tokens,
+                        beam_width=beam_width, detect=detect,
+                        max_tokens=max_tokens, task=task,
                     )
                 return greedy_decode(
                     params, cfg, features, lang_tokens, compute,
-                    detect=detect, max_tokens=max_tokens,
+                    detect=detect, max_tokens=max_tokens, task=task,
                 )
 
             self._jitted[key] = jax.jit(run)
@@ -178,7 +187,19 @@ class WhisperPipeline:
         lang_tokens = np.array([self._lang_token(l) for l in languages], np.int32)
         detect = bool((lang_tokens < 0).any())
 
-        fn = self._fn(b, detect)
+        padded_b = b
+        if self.bucket_batches and b > 1:
+            padded_b = 1 << (b - 1).bit_length()  # next power of two
+        if padded_b != b:
+            pad = padded_b - b
+            samples = np.concatenate(
+                [samples, np.zeros((pad,) + samples.shape[1:], samples.dtype)]
+            )
+            lang_tokens = np.concatenate(
+                [lang_tokens, np.full(pad, 50259, np.int32)]
+            )
+
+        fn = self._fn(padded_b, detect)
         start = time.perf_counter()
         result = fn(self.params, jnp.asarray(samples), jnp.asarray(lang_tokens))
         tokens = np.asarray(result.tokens)  # blocks
