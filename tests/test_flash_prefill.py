@@ -1,0 +1,53 @@
+"""Flash prefill attention wrapper vs the einsum oracle (interpret mode).
+
+Mirrors the reference's kernel-vs-oracle strategy (src/gguf/tests.rs, SURVEY
+§4) for the encoder's blockwise attention path.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_burn_tpu.models.attention import attention
+from whisper_burn_tpu.ops import Compute
+from whisper_burn_tpu.ops.flash_prefill import prefill_attention
+
+COMPUTE = Compute.parity()
+
+
+def _rand(shape, seed):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.3)
+
+
+@pytest.mark.parametrize("t", [128, 160])  # 160 exercises the pad+mask path
+def test_flash_prefill_matches_einsum(t):
+    b, d, h = 2, 128, 2
+    q, k, v = _rand((b, t, d), 0), _rand((b, t, d), 1), _rand((b, t, d), 2)
+    ref = np.asarray(attention(q, k, v, h, mask=None, compute=COMPUTE))
+    out = prefill_attention(q, k, v, h, COMPUTE, interpret=True)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2, rtol=2e-2)
+
+
+def test_flash_prefill_declines_unsupported():
+    b, t, d, h = 2, 64, 128, 2  # t too small
+    q = _rand((b, t, d), 0)
+    assert prefill_attention(q, q, q, h, COMPUTE, interpret=True) is None
+    q = _rand((b, 128, 96), 0)  # dh = 48, not lane-aligned
+    assert prefill_attention(q, q, q, 2, COMPUTE, interpret=True) is None
+
+
+def test_flash_prefill_bf16():
+    b, t, d, h = 1, 128, 128, 2
+    compute = Compute.fast()
+    q = _rand((b, t, d), 3).astype(jnp.bfloat16)
+    k = _rand((b, t, d), 4).astype(jnp.bfloat16)
+    v = _rand((b, t, d), 5).astype(jnp.bfloat16)
+    ref = np.asarray(
+        attention(q, k, v, h, mask=None, compute=compute), np.float32
+    )
+    out = prefill_attention(q, k, v, h, compute, interpret=True)
+    assert out is not None
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=5e-2)

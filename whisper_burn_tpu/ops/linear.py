@@ -61,10 +61,16 @@ def cross_kv_proj(bp: dict, enc: jnp.ndarray, compute: Compute):
 
 
 def apply_ffn(bp: dict, x: jnp.ndarray, gelu_kind: str, compute: Compute) -> jnp.ndarray:
-    """fc1 -> GELU -> fc2, via the fused Pallas FFN kernel when available."""
-    from whisper_burn_tpu.ops.pallas_ffn import _gelu, fused_ffn_pallas
+    """fc1 -> GELU -> fc2, via the fused Pallas FFN kernel when available.
 
-    if compute.use_pallas:
+    Large-M activations (encoder, batched prefill) take the unfused XLA
+    path for the same reason as q4_matmul's LARGE_M dispatch: at those
+    shapes the MXU time dwarfs the dequant materialization and XLA's
+    matmul pipeline outruns the fused kernel."""
+    from whisper_burn_tpu.ops.pallas_ffn import _gelu, fused_ffn_pallas
+    from whisper_burn_tpu.ops.q4_matmul import LARGE_M, _rows
+
+    if compute.use_pallas and _rows(x) < LARGE_M:
         y = fused_ffn_pallas(x, bp["fc1"], bp["fc2"], gelu_kind, compute)
         if y is not None:
             return y

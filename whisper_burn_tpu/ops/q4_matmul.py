@@ -63,10 +63,27 @@ def q4_matmul(
     ``x: [..., K]`` -> ``[..., N]`` (batch dims preserved, like the
     reference's ``q4_matmul(input[B,M,K]) -> [B,M,N]``, src/gguf/op.rs:47).
     """
-    if compute.use_pallas:
+    if compute.use_pallas and _rows(x) < LARGE_M:
         from whisper_burn_tpu.ops.pallas_q4 import q4_matmul_pallas
 
         y = q4_matmul_pallas(x, qw, scales, compute)
         if y is not None:  # kernel may decline unsupported shapes
             return y
     return q4_matmul_xla(x, qw, scales, compute)
+
+
+# Row count above which the dequantize-then-dot path wins. Measured on
+# v5e at [49152, 1280] @ [1280, 2560]: XLA dequant+dot 141 TFLOP/s vs
+# 116 for the best-tiled fused kernel — at large M the one-off bf16
+# weight materialization (~3 bytes/weight once) is noise next to the
+# MXU time, and XLA's matmul pipeline is simply better tuned. At small
+# M (the decode GEMV) the matmul is weight-bandwidth-bound and the
+# fused kernel's 1 byte/weight wins.
+LARGE_M = 4096
+
+
+def _rows(x: jnp.ndarray) -> int:
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    return m
