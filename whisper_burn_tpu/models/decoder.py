@@ -149,6 +149,14 @@ def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def _quantize_kv_layer(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel symmetric int8 quantization of one layer's [B, T, D]."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1))  # [D]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def fill_cross_cache(
     params: Params,
     cfg: WhisperConfig,
@@ -156,14 +164,35 @@ def fill_cross_cache(
     cache: KVCache,
     compute: Compute,
 ) -> KVCache:
-    """Project encoder output to cross K/V and store (optionally int8)."""
-    ck, cv = compute_cross_kv(
-        params, cfg, enc_out, compute, pad_to=cache.cross_k.shape[2]
-    )
+    """Project encoder output to cross K/V and store (optionally int8).
+
+    Quantization happens per layer *inside* the projection scan: the full
+    bfloat16 ``[L, B, T, D]`` K/V (16 GB at B=64 Large-V3) is never
+    materialized — only one layer's [B, T, D] lives between the matmul and
+    the int8 store, which is what lets batch 64 fit in one chip's HBM.
+    """
     if not compute.quantized_kv:
+        ck, cv = compute_cross_kv(
+            params, cfg, enc_out, compute, pad_to=cache.cross_k.shape[2]
+        )
         return cache._replace(cross_k=ck, cross_v=cv)
-    ck_q, k_scale = _quantize_kv(ck)
-    cv_q, v_scale = _quantize_kv(cv)
+
+    enc = enc_out.astype(compute.dtype)
+    pad_to = cache.cross_k.shape[2]
+    t = enc.shape[1]
+
+    def block(_, bp):
+        ck, cv = cross_kv_proj(bp, enc, compute)
+        if pad_to > t:
+            pad = ((0, 0), (0, pad_to - t), (0, 0))
+            ck, cv = jnp.pad(ck, pad), jnp.pad(cv, pad)
+        ck_q, ks = _quantize_kv_layer(ck)
+        cv_q, vs = _quantize_kv_layer(cv)
+        return None, (ck_q, cv_q, ks, vs)
+
+    _, (ck_q, cv_q, k_scale, v_scale) = jax.lax.scan(
+        block, None, params["decoder"]["blocks"]
+    )
     return cache._replace(
         cross_k=ck_q, cross_v=cv_q, cross_k_scale=k_scale, cross_v_scale=v_scale
     )
