@@ -18,13 +18,30 @@ import json
 import sys
 
 
-def _cmd_transcribe(args: argparse.Namespace) -> int:
-    from whisper_burn_tpu.app_config import load_config
-    from whisper_burn_tpu.audio.io import load_wav
+def build_pipeline(model_path: str, tokenizer_path: str | None, args: argparse.Namespace):
+    """GGUF path (+ options namespace) -> ready WhisperPipeline; shared by
+    the transcribe command and the push-to-talk app."""
     from whisper_burn_tpu.gguf.cache import load_whisper
     from whisper_burn_tpu.ops import Compute
     from whisper_burn_tpu.tokenizer import WhisperTokenizer
     from whisper_burn_tpu.transcribe import WhisperPipeline
+
+    model = load_whisper(model_path)  # repacked-cache-aware loader
+    tokenizer = (
+        WhisperTokenizer.from_file(tokenizer_path) if tokenizer_path else None
+    )
+    compute = Compute.fast() if getattr(args, "bf16", False) else Compute.parity()
+    return WhisperPipeline(
+        model, tokenizer, compute=compute,
+        frontend=getattr(args, "frontend", "openai"),
+        beam_width=getattr(args, "beam", 1),
+        max_tokens=getattr(args, "max_tokens", 224),
+    )
+
+
+def _cmd_transcribe(args: argparse.Namespace) -> int:
+    from whisper_burn_tpu.app_config import load_config
+    from whisper_burn_tpu.audio.io import load_wav
 
     # saved defaults fill in anything not given on the command line
     defaults = load_config()
@@ -34,13 +51,7 @@ def _cmd_transcribe(args: argparse.Namespace) -> int:
         print("no --model given and no saved default (see `config --set`)")
         return 2
 
-    model = load_whisper(args.model)  # repacked-cache-aware loader
-    tokenizer = WhisperTokenizer.from_file(args.tokenizer) if args.tokenizer else None
-    compute = Compute.fast() if args.bf16 else Compute.parity()
-    pipe = WhisperPipeline(
-        model, tokenizer, compute=compute, frontend=args.frontend,
-        beam_width=args.beam, max_tokens=args.max_tokens,
-    )
+    pipe = build_pipeline(args.model, args.tokenizer, args)
 
     for path in args.audio:
         audio = load_wav(path)
@@ -189,6 +200,12 @@ def _cmd_convert(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_app(args: argparse.Namespace) -> int:
+    from whisper_burn_tpu.app import run_terminal
+
+    return run_terminal(args)
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="whisper_burn_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -243,6 +260,16 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--beam", type=int, default=1)
     sv.add_argument("--compute", choices=["parity", "fast", "fastest"], default="fastest")
     sv.set_defaults(fn=_cmd_serve)
+
+    ap = sub.add_parser("app", help="interactive push-to-talk transcription")
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--tokenizer", default=None)
+    ap.add_argument("--language", default=None)
+    ap.add_argument("--frontend", choices=["openai", "reference"], default="openai")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--beam", type=int, default=1)
+    ap.add_argument("--max-tokens", type=int, default=224)
+    ap.set_defaults(fn=_cmd_app)
 
     cf = sub.add_parser("config", help="show or persist CLI defaults")
     cf.add_argument("--set", nargs="*", metavar="KEY=VALUE", default=[])
