@@ -89,3 +89,101 @@ def test_bf16_inputs():
 def test_unsupported_shapes_decline():
     q, k, v = _setup(2, 37, 128, seed=5)  # 37 has no tile
     assert decode_attention_unnormalized(q, k, v, jnp.asarray(37), 2, interpret=True) is None
+
+
+# ---- kT kernel (transposed keys, heads on sublanes) ----
+
+from whisper_burn_tpu.ops.pallas_attention import decode_attention_kT
+
+
+def _kt(k):
+    return jnp.swapaxes(k, -1, -2)[None]  # [B,T,D] -> [1(L),B,D,T]
+
+
+@pytest.mark.parametrize("b,t,d,h", [(2, 64, 128, 2), (3, 1536, 256, 4), (2, 256, 640, 10)])
+def test_kt_full_length_matches_einsum(b, t, d, h):
+    q, k, v = _setup(b, t, d)
+    res = decode_attention_kT(
+        q, _kt(k), v[None], jnp.asarray(0), jnp.asarray(t), h, interpret=True
+    )
+    assert res is not None
+    acc, m, l = res
+    out = normalize(acc, l, h)
+    ref = attention(q, k, v, h, mask=None, compute=COMPUTE)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("valid", [1, 5, 63, 64, 100])
+def test_kt_masked_length_matches_einsum(valid):
+    b, t, d, h = 2, 128, 128, 2
+    q, k, v = _setup(b, t, d, seed=1)
+    res = decode_attention_kT(
+        q, _kt(k), v[None], jnp.asarray(0), jnp.asarray(valid), h, interpret=True
+    )
+    acc, m, l = res
+    out = normalize(acc, l, h)
+    ref = attention(q, k, v, h, mask=length_mask(jnp.asarray(valid), t), compute=COMPUTE)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_kt_layer_indexing():
+    """The scalar-prefetched layer index selects the right cache slice."""
+    b, t, d, h, L = 2, 64, 128, 2, 3
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, 1, d)).astype(np.float32))
+    k4 = jnp.asarray(rng.standard_normal((L, b, t, d)).astype(np.float32))
+    v4 = jnp.asarray(rng.standard_normal((L, b, t, d)).astype(np.float32))
+    kT4 = jnp.swapaxes(k4, -1, -2)
+    for layer in range(L):
+        acc, m, l = decode_attention_kT(
+            q, kT4, v4, jnp.asarray(layer), jnp.asarray(t), h, interpret=True
+        )
+        out = normalize(acc, l, h)
+        ref = attention(q, k4[layer], v4[layer], h, mask=None, compute=COMPUTE)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_kt_batch_groups_shared_cache():
+    """G consecutive query streams share one cache entry (beam search)."""
+    b, g, t, d, h = 2, 3, 64, 128, 2
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((b * g, 1, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    acc, m, l = decode_attention_kT(
+        q, _kt(k), v[None], jnp.asarray(0), jnp.asarray(t), h,
+        batch_groups=g, interpret=True,
+    )
+    out = normalize(acc, l, h)
+    k_rep = jnp.repeat(k, g, axis=0)
+    v_rep = jnp.repeat(v, g, axis=0)
+    ref = attention(q, k_rep, v_rep, h, mask=None, compute=COMPUTE)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_kt_int8_cache_bf16_query():
+    """int8 cache contents dequantize inside the kernel (scales fold outside)."""
+    b, t, d, h = 2, 128, 256, 4
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((b, 1, d)).astype(np.float32)).astype(jnp.bfloat16)
+    k8 = jnp.asarray(rng.integers(-127, 128, (b, t, d)).astype(np.int8))
+    v8 = jnp.asarray(rng.integers(-127, 128, (b, t, d)).astype(np.int8))
+    acc, m, l = decode_attention_kT(
+        q, _kt(k8), v8[None], jnp.asarray(0), jnp.asarray(t), h, interpret=True
+    )
+    out = normalize(acc, l, h)
+    ref = attention(
+        q.astype(jnp.float32),
+        k8.astype(jnp.float32),
+        v8.astype(jnp.float32),
+        h, mask=None, compute=COMPUTE,
+    )
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() / np.abs(np.asarray(ref)).max() < 2e-2
+
+
+def test_kt_unsupported_shapes_decline():
+    q, k, v = _setup(2, 36, 128, seed=5)  # t % 8 != 0
+    assert (
+        decode_attention_kT(q, _kt(k), v[None], jnp.asarray(0), jnp.asarray(37), 2, interpret=True)
+        is None
+    )

@@ -49,7 +49,6 @@ def attention(
     dh = q.shape[-1] // n_heads
     qh = split_heads(q, n_heads)
     kh = split_heads(k, n_heads)
-    vh = split_heads(v, n_heads)
 
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk",
@@ -58,6 +57,38 @@ def attention(
         precision=compute.precision,
         preferred_element_type=jnp.float32,
     )
+    return _softmax_values(scores, v, n_heads, dh, mask, compute)
+
+
+def attention_kt(
+    q: jnp.ndarray,
+    kT: jnp.ndarray,
+    v: jnp.ndarray,
+    n_heads: int,
+    *,
+    mask: jnp.ndarray | None,
+    compute: Compute,
+) -> jnp.ndarray:
+    """:func:`attention` with pre-transposed keys ``kT: [B, D, Tkv]`` — the
+    storage layout of the cross cache when the Pallas kT decode kernel is
+    active (decoder.cross_kt_layout); avoids transposing the cache back."""
+    b, d, tk = kT.shape
+    dh = d // n_heads
+    qh = split_heads(q, n_heads)
+    khT = kT.reshape(b, n_heads, dh, tk)
+
+    scores = jnp.einsum(
+        "bhqd,bhdk->bhqk",
+        qh,
+        khT,
+        precision=compute.precision,
+        preferred_element_type=jnp.float32,
+    )
+    return _softmax_values(scores, v, n_heads, dh, mask, compute)
+
+
+def _softmax_values(scores, v, n_heads, dh, mask, compute):
+    vh = split_heads(v, n_heads)
     scores = scores / jnp.asarray(dh, jnp.float32) ** 0.5
     if mask is not None:
         scores = scores + mask

@@ -28,7 +28,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from whisper_burn_tpu.models.attention import attention, causal_mask, length_mask
+from whisper_burn_tpu.models.attention import (
+    attention,
+    attention_kt,
+    causal_mask,
+    length_mask,
+)
 from whisper_burn_tpu.models.config import WhisperConfig
 from whisper_burn_tpu.models.layers import gelu, layer_norm
 from whisper_burn_tpu.models.params import Params
@@ -46,7 +51,11 @@ class KVCache(NamedTuple):
 
     self_k: jnp.ndarray  # [L, B, n_text_ctx, D]
     self_v: jnp.ndarray  # [L, B, n_text_ctx, D]
-    cross_k: jnp.ndarray  # [L, B, n_audio_ctx, D] (compute or int8 dtype)
+    # cross keys are stored TRANSPOSED [L, B, D, T] when the Pallas kT
+    # kernel serves cross-attention (cross_kt_layout): heads ride sublanes
+    # in the scores matmul, 4x fewer MXU cycles than the v1 lane-padded
+    # form. Natural [L, B, T, D] otherwise. Values are always natural.
+    cross_k: jnp.ndarray  # [L, B, T, D] or [L, B, D, T] (compute or int8)
     cross_v: jnp.ndarray  # [L, B, n_audio_ctx, D]
     cross_k_scale: jnp.ndarray | None = None  # [L, D] f32 when int8
     cross_v_scale: jnp.ndarray | None = None
@@ -65,8 +74,13 @@ def init_cache(
     z = lambda t, dt: jnp.zeros((l, batch, t, d), dt)
     kv_dt = compute.cross_kv_dtype
     sc = (jnp.ones((l, d), jnp.float32),) * 2 if compute.quantized_kv else (None, None)
+    ck = (
+        jnp.zeros((l, batch, d, cross_t), kv_dt)
+        if cross_kt_layout(cfg, compute)
+        else z(cross_t, kv_dt)
+    )
     return KVCache(
-        z(ctx, compute.dtype), z(ctx, compute.dtype), z(cross_t, kv_dt), z(cross_t, kv_dt), *sc
+        z(ctx, compute.dtype), z(ctx, compute.dtype), ck, z(cross_t, kv_dt), *sc
     )
 
 
@@ -78,6 +92,20 @@ def cross_cache_len(cfg: WhisperConfig, compute: Compute) -> int:
         return t
     align = 512 if t >= 512 else 8
     return -(-t // align) * align
+
+
+def cross_kt_layout(cfg: WhisperConfig, compute: Compute) -> bool:
+    """True when cross keys are stored transposed [L, B, D, T] for the
+    Pallas kT decode kernel (the layout and the kernel dispatch must agree,
+    so both derive from this one predicate)."""
+    from whisper_burn_tpu.ops.pallas_attention import kt_kernel_supported
+
+    if not compute.use_pallas:
+        return False
+    itemsize = jnp.dtype(compute.cross_kv_dtype).itemsize
+    return kt_kernel_supported(
+        cross_cache_len(cfg, compute), cfg.n_text_state, cfg.n_text_head, itemsize
+    )
 
 
 def _embed(dec: Params, tokens: jnp.ndarray, positions: jnp.ndarray, compute: Compute) -> jnp.ndarray:
@@ -105,8 +133,10 @@ def _logits(dec: Params, x: jnp.ndarray, cfg: WhisperConfig, compute: Compute) -
     return jnp.where(pad[None, :], -jnp.inf, logits)
 
 
-def _cross_attn(bp, h, ck, cv, n_heads, compute, mask=None):
+def _cross_attn(bp, h, ck, cv, n_heads, compute, mask=None, transposed=False):
     q = apply_linear(bp["xattn_q"], h, compute)
+    if transposed:
+        return attention_kt(q, ck, cv, n_heads, mask=mask, compute=compute)
     return attention(q, ck, cv, n_heads, mask=mask, compute=compute)
 
 
@@ -171,14 +201,18 @@ def fill_cross_cache(
     materialized — only one layer's [B, T, D] lives between the matmul and
     the int8 store, which is what lets batch 64 fit in one chip's HBM.
     """
+    transposed = cross_kt_layout(cfg, compute)
+
     if not compute.quantized_kv:
         ck, cv = compute_cross_kv(
-            params, cfg, enc_out, compute, pad_to=cache.cross_k.shape[2]
+            params, cfg, enc_out, compute, pad_to=cache.cross_v.shape[2]
         )
+        if transposed:
+            ck = jnp.swapaxes(ck, 2, 3)  # [L, B, T, D] -> [L, B, D, T]
         return cache._replace(cross_k=ck, cross_v=cv)
 
     enc = enc_out.astype(compute.dtype)
-    pad_to = cache.cross_k.shape[2]
+    pad_to = cache.cross_v.shape[2]
     t = enc.shape[1]
 
     def block(_, bp):
@@ -188,6 +222,8 @@ def fill_cross_cache(
             ck, cv = jnp.pad(ck, pad), jnp.pad(cv, pad)
         ck_q, ks = _quantize_kv_layer(ck)
         cv_q, vs = _quantize_kv_layer(cv)
+        if transposed:
+            ck_q = jnp.swapaxes(ck_q, 1, 2)  # [B, T, D] -> [B, D, T]
         return None, (ck_q, cv_q, ks, vs)
 
     _, (ck_q, cv_q, k_scale, v_scale) = jax.lax.scan(
@@ -198,11 +234,14 @@ def fill_cross_cache(
     )
 
 
-def _dequant_layer(c: jnp.ndarray, scale: jnp.ndarray | None, dtype) -> jnp.ndarray:
-    """[B, T, D] int8 + [D] scale -> compute dtype (no-op when unquantized)."""
+def _dequant_layer(
+    c: jnp.ndarray, scale: jnp.ndarray | None, dtype, transposed: bool = False
+) -> jnp.ndarray:
+    """[B, T, D] (or [B, D, T]) int8 + [D] scale -> compute dtype."""
     if scale is None:
         return c
-    return c.astype(dtype) * scale.astype(dtype)[None, None, :]
+    s = scale.astype(dtype)
+    return c.astype(dtype) * (s[None, :, None] if transposed else s[None, None, :])
 
 
 def prefill(
@@ -224,7 +263,8 @@ def prefill(
     b, t = tokens.shape
     x = _embed(dec, tokens, jnp.arange(pos_offset, pos_offset + t), compute)
     mask = causal_mask(t, t)
-    cross_t = cache.cross_k.shape[2]
+    cross_t = cache.cross_v.shape[2]
+    transposed = cross_kt_layout(cfg, compute)
     cross_mask = (
         length_mask(jnp.asarray(cfg.n_audio_ctx), cross_t)
         if cross_t != cfg.n_audio_ctx
@@ -244,10 +284,12 @@ def prefill(
         x = x + apply_linear(bp["attn_o"], a, compute)
 
         if quantized_cross:
-            ck = _dequant_layer(ck, ks_l, compute.dtype)
+            ck = _dequant_layer(ck, ks_l, compute.dtype, transposed=transposed)
             cv = _dequant_layer(cv, vs_l, compute.dtype)
         h = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
-        a = _cross_attn(bp, h, ck, cv, cfg.n_text_head, compute, cross_mask)
+        a = _cross_attn(
+            bp, h, ck, cv, cfg.n_text_head, compute, cross_mask, transposed=transposed
+        )
         x = x + apply_linear(bp["xattn_o"], a, compute)
 
         h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
@@ -300,7 +342,8 @@ def decode_step(
         )
 
     mask = length_mask(pos + 1, cache.self_k.shape[2])  # keys beyond pos are padding
-    cross_t = cache.cross_k.shape[2]
+    cross_t = cache.cross_v.shape[2]
+    transposed = cross_kt_layout(cfg, compute)
     cross_mask = (
         length_mask(jnp.asarray(cfg.n_audio_ctx), cross_t)
         if cross_t != cfg.n_audio_ctx
@@ -326,10 +369,12 @@ def decode_step(
         x = x + apply_linear(bp["attn_o"], a, compute)
 
         if quantized_cross:
-            ck = _dequant_layer(ck, ks_l, compute.dtype)
+            ck = _dequant_layer(ck, ks_l, compute.dtype, transposed=transposed)
             cv = _dequant_layer(cv, vs_l, compute.dtype)
         h = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
-        a = _cross_attn(bp, h, ck, cv, cfg.n_text_head, compute, cross_mask)
+        a = _cross_attn(
+            bp, h, ck, cv, cfg.n_text_head, compute, cross_mask, transposed=transposed
+        )
         x = x + apply_linear(bp["xattn_o"], a, compute)
 
         h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
@@ -353,10 +398,11 @@ def _flash_supported(cfg: WhisperConfig, cache: KVCache, compute: Compute) -> bo
         return False
     if cfg.n_text_head > H_PAD or cfg.n_text_state % cfg.n_text_head != 0:
         return False
-    return (
-        _largest_tile(cache.self_k.shape[2]) is not None
-        and _largest_tile(cache.cross_k.shape[2]) is not None
-    )
+    if _largest_tile(cache.self_k.shape[2]) is None:
+        return False
+    if cross_kt_layout(cfg, compute):
+        return True  # the transposed layout is only chosen when supported
+    return _largest_tile(cache.cross_v.shape[2]) is not None
 
 
 def _decode_step_flash(
@@ -373,6 +419,7 @@ def _decode_step_flash(
     extra key, and the cache update is ONE deferred dynamic_update_slice per
     K/V — the per-step cache traffic is exactly one read of the live keys."""
     from whisper_burn_tpu.ops.pallas_attention import (
+        decode_attention_kT,
         decode_attention_layer,
         flash_merge_extra_key,
         normalize,
@@ -383,6 +430,7 @@ def _decode_step_flash(
     t_enc = jnp.asarray(cfg.n_audio_ctx, jnp.int32)  # padded tail is masked
     layer_idx = jnp.arange(cfg.n_text_layer)
     quantized_cross = cache.cross_k_scale is not None
+    transposed = cross_kt_layout(cfg, compute)
 
     def block(x, xs):
         bp, l = xs
@@ -403,7 +451,8 @@ def _decode_step_flash(
             ks_l = jax.lax.dynamic_index_in_dim(cache.cross_k_scale, l, 0, keepdims=False)
             vs_l = jax.lax.dynamic_index_in_dim(cache.cross_v_scale, l, 0, keepdims=False)
             qx = qx * ks_l.astype(qx.dtype)[None, None, :]
-        acc, m, lsum = decode_attention_layer(
+        cross_attn = decode_attention_kT if transposed else decode_attention_layer
+        acc, m, lsum = cross_attn(
             qx, cache.cross_k, cache.cross_v, l, t_enc, h,
             batch_groups=batch_groups,
         )

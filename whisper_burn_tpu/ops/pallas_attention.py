@@ -199,6 +199,145 @@ def _largest_tile(t: int) -> int | None:
     return None
 
 
+HS = 32  # head-rows padding (sublane grain) for the kT kernel
+_KT_VMEM_LIMIT = 4 * 1024 * 1024  # per-operand block budget, bytes
+
+
+def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_ref, *, scale):
+    """Single-pass decode attention with transposed keys.
+
+    The v1 kernel (:func:`_kernel`) pads H=20 heads to 128 lanes, so both
+    MXU ops are ``[kt,D]@[D,128]`` — ~6.4x redundant FLOPs that make
+    cross-attention MXU-bound (measured 479us/layer vs a 307us DMA SoL at
+    B=64, T=1536, int8). Putting heads on *sublanes* instead makes them
+    ``[32,D]@[D,T]`` and ``[32,T]@[T,D]`` — 4x fewer MXU cycles (745ns vs
+    3x971ns measured at bench shapes), leaving the kernel DMA-bound.
+
+    One grid step processes one query stream against its whole key range
+    (no flash tiling — [D,1536] int8 is 2 MB of VMEM), so the softmax is
+    exact in one pass; m/l are still returned for interface parity with v1
+    (the self-attention extra-key merge needs them).
+    """
+    valid = scalar_ref[1]
+    qh = qh_ref[0]  # [HS, D] compute dtype, row h = q masked to head h
+    k = kT_ref[0, 0]  # [D, T] (int8 caches convert on the way in)
+    t = k.shape[1]
+
+    s = jnp.dot(qh, k.astype(qh.dtype), preferred_element_type=jnp.float32) * scale
+    in_range = jax.lax.broadcasted_iota(jnp.int32, (HS, t), 1) < valid
+    s = jnp.where(in_range, s, NEG_BIG)
+
+    m = jnp.max(s, axis=1, keepdims=True)  # [HS, 1]
+    p = jnp.where(in_range, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+
+    v = v_ref[0, 0].astype(qh.dtype)  # [T, D]
+    pv = jnp.dot(p.astype(qh.dtype), v, preferred_element_type=jnp.float32)  # [HS, D]
+    # collapse head rows: out[d] = pv[head(d), d]
+    acc_ref[0] = jnp.sum(pv * hmask_ref[:], axis=0, keepdims=True)  # [1, D]
+    m_ref[0] = m
+    l_ref[0] = l
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "batch_groups", "interpret")
+)
+def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, batch_groups, interpret):
+    l_dim, _, d, t = kT4.shape
+    b = q.shape[0]
+    dh = d // n_heads
+    scale = 1.0 / np.sqrt(dh)
+
+    head_of_d = np.arange(d) // dh  # [D]
+    hmask = head_of_d[None, :] == np.arange(HS)[:, None]  # [HS, D]
+    hmask_f = jnp.asarray(hmask, jnp.float32)
+    qh = q.reshape(b, 1, d) * jnp.asarray(hmask, q.dtype)[None]  # [B, HS, D]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # scalars = [layer, valid_len]
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, HS, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HS, d), lambda b, sc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, d, t),
+                lambda b, sc: (sc[0], b // batch_groups, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, t, d),
+                lambda b, sc: (sc[0], b // batch_groups, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HS, 1), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, HS, 1), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    acc, m, l = pl.pallas_call(
+        functools.partial(_kt_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, HS, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, HS, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(scalars, qh, hmask_f, kT4, v4)
+    # [B, HS, 1] -> [B, 1, H] for interface parity with the v1 kernel
+    return acc, m[:, :n_heads, 0][:, None, :], l[:, :n_heads, 0][:, None, :]
+
+
+def kt_kernel_supported(t: int, d: int, n_heads: int, itemsize: int = 1) -> bool:
+    """Static shape check for :func:`decode_attention_kT` (one whole-T tile)."""
+    if n_heads > HS or d % n_heads != 0:
+        return False
+    if t * d * itemsize > _KT_VMEM_LIMIT:
+        return False
+    align = 128 if jax.default_backend() not in ("cpu",) else 8
+    return t % align == 0 and t >= align
+
+
+def decode_attention_kT(
+    q: jnp.ndarray,  # [B*G, 1, D] query streams
+    kT4: jnp.ndarray,  # [L, B, D, T] TRANSPOSED layered key cache
+    v4: jnp.ndarray,  # [L, B, T, D] value cache (natural layout)
+    layer: jnp.ndarray,  # scalar int32 layer index
+    valid_len: jnp.ndarray,  # scalar int32: keys [0, valid_len) participate
+    n_heads: int,
+    *,
+    batch_groups: int = 1,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None:
+    """Transposed-key decode attention (see :func:`_kt_kernel`).
+
+    Same contract as :func:`decode_attention_layer` — returns unnormalized
+    ``(acc [B*G,1,D] f32, m [B*G,1,H], l [B*G,1,H])`` or None when the
+    shape is unsupported — but reads keys in ``[D, T]`` layout, which only
+    the *cross* cache uses (it is written once per utterance; a per-step
+    transposed self-cache write would be a lane-dimension scatter).
+    """
+    l_dim, kb, d, t = kT4.shape
+    if v4.shape != (l_dim, kb, t, d) or q.shape != (kb * batch_groups, 1, d):
+        return None
+    if not kt_kernel_supported(t, d, n_heads, kT4.dtype.itemsize):
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    scalars = jnp.stack(
+        [jnp.asarray(layer, jnp.int32), jnp.asarray(valid_len, jnp.int32)]
+    )
+    return _kt_attn_call(
+        q, kT4, v4, scalars,
+        n_heads=n_heads, batch_groups=batch_groups, interpret=interpret,
+    )
+
+
 def flash_merge_extra_key(
     acc: jnp.ndarray,  # [B, 1, D] f32 unnormalized
     m: jnp.ndarray,  # [B, 1, H]
