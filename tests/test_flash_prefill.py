@@ -51,3 +51,26 @@ def test_flash_prefill_bf16():
     assert out is not None
     assert out.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, atol=5e-2)
+
+
+# ---- single-pass whole-sequence encoder kernel ----
+
+from whisper_burn_tpu.ops.pallas_encoder_attention import encoder_attention
+
+
+@pytest.mark.parametrize("b,t,d,h", [(2, 128, 128, 2), (1, 300, 256, 4), (2, 1500, 128, 2)])
+def test_encoder_attention_matches_einsum(b, t, d, h):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32) * 0.5)
+    out = encoder_attention(q, k, v, h, interpret=True)
+    assert out is not None
+    ref = attention(q, k, v, h, mask=None, compute=Compute.parity())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_encoder_attention_declines_long_t():
+    b, t, d, h = 1, 4096, 128, 2
+    q = jnp.zeros((b, t, d))
+    assert encoder_attention(q, q, q, h, interpret=True) is None

@@ -105,5 +105,12 @@ def prefill_attention(
         return None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    out = _flash_call(q, k, v, n_heads, interpret)
+
+    # whole-sequence single-pass kernel: ~2.5x the stock flash kernel at
+    # Whisper shapes (scores stay VMEM-resident, no streaming recurrence)
+    from whisper_burn_tpu.ops.pallas_encoder_attention import encoder_attention
+
+    out = encoder_attention(q, k, v, n_heads, interpret=interpret)
+    if out is None:  # T too long for a resident score block: stock flash
+        out = _flash_call(q, k, v, n_heads, interpret)
     return out.astype(compute.dtype)
