@@ -47,9 +47,12 @@ def main() -> None:
     from whisper_burn_tpu.transcribe import prepare_params
 
     cfg = WhisperConfig.large_v3()
-    compute = (
-        Compute.fast() if os.environ.get("BENCH_KV") == "bf16" else Compute.fastest()
-    )
+    kv = os.environ.get("BENCH_KV", "int4")
+    compute = {
+        "bf16": Compute.fast(),
+        "int8": Compute.fastest(),
+        "int4": Compute.fastest(kv_bits=4),
+    }[kv]
     params = prepare_params(fabricated_quantized_params(cfg, seed=0), compute)
     mel_frontend = MelFrontend(n_mels=cfg.n_mels, norm="slaney")
 

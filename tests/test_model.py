@@ -230,3 +230,33 @@ def test_int8_cross_kv_close_to_bf16():
     quant = run(COMPUTE.replace(kv_dtype=jnp.int8))
     scale = np.abs(base).max()
     assert np.abs(base - quant).max() < 0.02 * scale + 0.05
+
+
+def test_int4_cross_kv_close_to_bf16():
+    """kv_bits=4 packs two positions per byte; logits stay close to the
+    full-precision path (per-channel absmax/7 scales)."""
+    from whisper_burn_tpu.models.decoder import fill_cross_cache
+
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+    params = random_params(cfg, seed=31, quantized=False)
+    mel = _mel(seed=32)[:, : cfg.n_mels, : cfg.n_audio_ctx * 2]
+    enc_out = encode(params, mel, cfg, COMPUTE)
+
+    def run(compute):
+        cache = init_cache(cfg, 2, compute)
+        cache = fill_cross_cache(params, cfg, enc_out, cache, compute)
+        prompt = jnp.tile(jnp.asarray([[SOT, 50259, 50359, 50363]], jnp.int32), (2, 1))
+        logits, cache = prefill(params, cfg, prompt, cache, compute)
+        # one decode step through the packed path as well
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        step_logits, _ = decode_step(params, cfg, tok, jnp.asarray(4), cache, compute)
+        return np.asarray(logits)[:, : cfg.n_vocab], np.asarray(step_logits)[:, : cfg.n_vocab]
+
+    base, base_step = run(COMPUTE)
+    quant, quant_step = run(COMPUTE.replace(kv_dtype=jnp.int8, kv_bits=4))
+    packed_cache = init_cache(cfg, 2, COMPUTE.replace(kv_dtype=jnp.int8, kv_bits=4))
+    assert packed_cache.cross_v.dtype == jnp.uint8
+    assert packed_cache.cross_v.shape[2] == 8  # 16 positions / 2 per byte
+    scale = np.abs(base).max()
+    assert np.abs(base - quant).max() < 0.05 * scale + 0.1
+    assert np.abs(base_step - quant_step).max() < 0.05 * np.abs(base_step).max() + 0.1

@@ -187,3 +187,42 @@ def test_kt_unsupported_shapes_decline():
         decode_attention_kT(q, _kt(k), v[None], jnp.asarray(0), jnp.asarray(37), 2, interpret=True)
         is None
     )
+
+
+# ---- int4-packed kT kernel ----
+
+from whisper_burn_tpu.models.decoder import pack_int4, unpack_int4
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(-8, 8, (2, 64, 32)).astype(np.int8))
+    p = pack_int4(x, axis=1)
+    assert p.shape == (2, 32, 32) and p.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(unpack_int4(p, 1, jnp.int8)), np.asarray(x))
+
+
+@pytest.mark.parametrize("valid", [64, 100, 128])
+def test_kt_int4_packed_matches_unpacked(valid):
+    """Packed uint8 K/V through the kernel == unpacked int4 values einsum."""
+    b, t, d, h = 2, 128, 256, 4
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((b, 1, d)).astype(np.float32)).astype(jnp.bfloat16)
+    k4 = jnp.asarray(rng.integers(-8, 8, (b, t, d)).astype(np.int8))
+    v4 = jnp.asarray(rng.integers(-8, 8, (b, t, d)).astype(np.int8))
+    kp = pack_int4(k4, axis=1)  # [B, T/2, D]
+    vp = pack_int4(v4, axis=1)
+    kTp = jnp.swapaxes(kp, -1, -2)[None]  # [1, B, D, T/2]
+    res = decode_attention_kT(
+        q, kTp, vp[None], jnp.asarray(0), jnp.asarray(valid), h, interpret=True
+    )
+    assert res is not None
+    acc, m, l = res
+    out = normalize(acc, l, h)
+    ref = attention(
+        q.astype(jnp.float32),
+        k4.astype(jnp.float32),
+        v4.astype(jnp.float32),
+        h, mask=length_mask(jnp.asarray(valid), t), compute=COMPUTE,
+    )
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() / np.abs(np.asarray(ref)).max() < 2e-2

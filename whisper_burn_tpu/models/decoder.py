@@ -73,23 +73,26 @@ def init_cache(
     cross_t = cross_cache_len(cfg, compute)
     z = lambda t, dt: jnp.zeros((l, batch, t, d), dt)
     kv_dt = compute.cross_kv_dtype
+    # int4: two time positions pack into each stored byte (uint8)
+    stored_t = cross_t // 2 if compute.kv_packed else cross_t
     sc = (jnp.ones((l, d), jnp.float32),) * 2 if compute.quantized_kv else (None, None)
     ck = (
-        jnp.zeros((l, batch, d, cross_t), kv_dt)
+        jnp.zeros((l, batch, d, stored_t), kv_dt)
         if cross_kt_layout(cfg, compute)
-        else z(cross_t, kv_dt)
+        else z(stored_t, kv_dt)
     )
     return KVCache(
-        z(ctx, compute.dtype), z(ctx, compute.dtype), ck, z(cross_t, kv_dt), *sc
+        z(ctx, compute.dtype), z(ctx, compute.dtype), ck, z(stored_t, kv_dt), *sc
     )
 
 
 def cross_cache_len(cfg: WhisperConfig, compute: Compute) -> int:
-    """Cross-cache time length: padded to a flash-kernel tile multiple when
-    the Pallas path is active (1500 -> 1536; padded keys are masked)."""
+    """Cross-cache *logical* time length: padded to a flash-kernel tile
+    multiple when the Pallas path is active (1500 -> 1536; padded keys are
+    masked). int4 packing needs an even length (two positions per byte)."""
     t = cfg.n_audio_ctx
     if not compute.use_pallas:
-        return t
+        return -(-t // 2) * 2 if compute.kv_packed else t
     align = 512 if t >= 512 else 8
     return -(-t // align) * align
 
@@ -102,7 +105,8 @@ def cross_kt_layout(cfg: WhisperConfig, compute: Compute) -> bool:
 
     if not compute.use_pallas:
         return False
-    itemsize = jnp.dtype(compute.cross_kv_dtype).itemsize
+    # packed int4 halves the stored bytes per logical key position
+    itemsize = 0.5 if compute.kv_packed else jnp.dtype(compute.cross_kv_dtype).itemsize
     return kt_kernel_supported(
         cross_cache_len(cfg, compute), cfg.n_text_state, cfg.n_text_head, itemsize
     )
@@ -169,22 +173,40 @@ def compute_cross_kv(
     return cks, cvs
 
 
-def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-(layer, channel) symmetric int8 quantization of [L, B, T, D]."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2))  # [L, D]
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scale[:, None, None, :]), -127, 127
-    ).astype(jnp.int8)
-    return q, scale
-
-
 def _quantize_kv_layer(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-channel symmetric int8 quantization of one layer's [B, T, D]."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1))  # [D]
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def pack_int4(q4: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """int8 values in [-8, 7] -> biased-nibble uint8 pairs along ``axis``.
+
+    Element ``j`` pairs with ``j + size/2`` (low/high nibble), so unpacking
+    is two shifts + one concatenate — the halves land back in natural
+    position order with no interleave (the same split Q4_0 uses within a
+    block, src/gguf/shader.wgsl:82-88, applied to the time axis here).
+    """
+    lo, hi = jnp.split((q4 + 8).astype(jnp.uint8), 2, axis=axis)
+    return lo | (hi << 4)
+
+
+def unpack_int4(p: jnp.ndarray, axis: int, dtype) -> jnp.ndarray:
+    """Inverse of :func:`pack_int4` (values only; scales applied outside)."""
+    lo = (p & 15).astype(jnp.int8) - 8
+    hi = (p >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=axis).astype(dtype)
+
+
+def _quantize_kv_layer4(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel int4 quantization of one layer's [B, T, D], packed along
+    T. Scale = absmax/7 per channel (Q4_0's rule, scripts §2.5)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1))  # [D]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7).astype(jnp.int8)
+    return pack_int4(q, axis=1), scale
 
 
 def fill_cross_cache(
@@ -212,18 +234,19 @@ def fill_cross_cache(
         return cache._replace(cross_k=ck, cross_v=cv)
 
     enc = enc_out.astype(compute.dtype)
-    pad_to = cache.cross_v.shape[2]
+    pad_to = cross_cache_len(cfg, compute)
     t = enc.shape[1]
+    quantize = _quantize_kv_layer4 if compute.kv_packed else _quantize_kv_layer
 
     def block(_, bp):
         ck, cv = cross_kv_proj(bp, enc, compute)
         if pad_to > t:
             pad = ((0, 0), (0, pad_to - t), (0, 0))
             ck, cv = jnp.pad(ck, pad), jnp.pad(cv, pad)
-        ck_q, ks = _quantize_kv_layer(ck)
-        cv_q, vs = _quantize_kv_layer(cv)
+        ck_q, ks = quantize(ck)
+        cv_q, vs = quantize(cv)
         if transposed:
-            ck_q = jnp.swapaxes(ck_q, 1, 2)  # [B, T, D] -> [B, D, T]
+            ck_q = jnp.swapaxes(ck_q, 1, 2)  # [B, T(/2), D] -> [B, D, T(/2)]
         return None, (ck_q, cv_q, ks, vs)
 
     _, (ck_q, cv_q, k_scale, v_scale) = jax.lax.scan(
@@ -237,9 +260,12 @@ def fill_cross_cache(
 def _dequant_layer(
     c: jnp.ndarray, scale: jnp.ndarray | None, dtype, transposed: bool = False
 ) -> jnp.ndarray:
-    """[B, T, D] (or [B, D, T]) int8 + [D] scale -> compute dtype."""
+    """[B, T, D] (or [B, D, T]) int8 — or int4-packed uint8 with T halved —
+    + [D] scale -> compute dtype."""
     if scale is None:
         return c
+    if c.dtype == jnp.uint8:  # int4-packed along the T axis
+        c = unpack_int4(c, axis=2 if transposed else 1, dtype=dtype)
     s = scale.astype(dtype)
     return c.astype(dtype) * (s[None, :, None] if transposed else s[None, None, :])
 
@@ -263,7 +289,7 @@ def prefill(
     b, t = tokens.shape
     x = _embed(dec, tokens, jnp.arange(pos_offset, pos_offset + t), compute)
     mask = causal_mask(t, t)
-    cross_t = cache.cross_v.shape[2]
+    cross_t = cross_cache_len(cfg, compute)  # logical length (packed stores T/2)
     transposed = cross_kt_layout(cfg, compute)
     cross_mask = (
         length_mask(jnp.asarray(cfg.n_audio_ctx), cross_t)
@@ -342,7 +368,7 @@ def decode_step(
         )
 
     mask = length_mask(pos + 1, cache.self_k.shape[2])  # keys beyond pos are padding
-    cross_t = cache.cross_v.shape[2]
+    cross_t = cross_cache_len(cfg, compute)  # logical length (packed stores T/2)
     transposed = cross_kt_layout(cfg, compute)
     cross_mask = (
         length_mask(jnp.asarray(cfg.n_audio_ctx), cross_t)
@@ -402,6 +428,8 @@ def _flash_supported(cfg: WhisperConfig, cache: KVCache, compute: Compute) -> bo
         return False
     if cross_kt_layout(cfg, compute):
         return True  # the transposed layout is only chosen when supported
+    if compute.kv_packed:
+        return False  # only the kT kernel unpacks int4; fall back to XLA
     return _largest_tile(cache.cross_v.shape[2]) is not None
 
 
@@ -437,6 +465,10 @@ def _decode_step_flash(
 
         hdn = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
         q, k_new, v_new = qkv_proj(bp, hdn, compute)
+        # NOTE: a heads-on-sublanes variant (like the cross kT kernel) was
+        # measured SLOWER here — the natural [kt, D] key layout makes the
+        # scores a lanes-x-lanes contraction that Mosaic must transpose,
+        # while the v1 lane-padded form feeds the MXU directly.
         acc, m, lsum = decode_attention_layer(
             q, cache.self_k, cache.self_v, l, pos, h
         )

@@ -34,6 +34,9 @@ class Compute:
     # the dominant decode-step HBM traffic (the per-token cross-KV read)
     # using per-(layer, channel) scales that fold outside the kernel.
     kv_dtype: jnp.dtype | None = None
+    # 4 packs two int4 values per stored byte (positions t and t+T/2 share
+    # a byte), halving cross-KV traffic again; requires quantized kv_dtype.
+    kv_bits: int = 8
 
     @classmethod
     def parity(cls) -> "Compute":
@@ -44,21 +47,31 @@ class Compute:
         return cls(dtype=jnp.bfloat16, precision=jax.lax.Precision.DEFAULT)
 
     @classmethod
-    def fastest(cls) -> "Compute":
-        """bf16 compute + int8 cross-KV cache — the serving throughput mode."""
+    def fastest(cls, kv_bits: int = 8) -> "Compute":
+        """bf16 compute + quantized cross-KV cache — the serving throughput
+        mode. ``kv_bits=4`` packs two int4 values per byte (another ~2x off
+        the dominant decode-step HBM stream)."""
         return cls(
             dtype=jnp.bfloat16,
             precision=jax.lax.Precision.DEFAULT,
             kv_dtype=jnp.int8,
+            kv_bits=kv_bits,
         )
 
     @property
     def cross_kv_dtype(self):
+        if self.kv_packed:
+            return jnp.uint8  # biased-nibble pair container
         return self.dtype if self.kv_dtype is None else self.kv_dtype
 
     @property
     def quantized_kv(self) -> bool:
-        return self.cross_kv_dtype == jnp.int8
+        kv = self.dtype if self.kv_dtype is None else self.kv_dtype
+        return kv == jnp.int8
+
+    @property
+    def kv_packed(self) -> bool:
+        return self.quantized_kv and self.kv_bits == 4
 
     def replace(self, **kw) -> "Compute":
         return dataclasses.replace(self, **kw)

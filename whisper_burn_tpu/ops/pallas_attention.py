@@ -203,7 +203,7 @@ HS = 32  # head-rows padding (sublane grain) for the kT kernel
 _KT_VMEM_LIMIT = 4 * 1024 * 1024  # per-operand block budget, bytes
 
 
-def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_ref, *, scale):
+def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_ref, *, scale, packed):
     """Single-pass decode attention with transposed keys.
 
     The v1 kernel (:func:`_kernel`) pads H=20 heads to 128 lanes, so both
@@ -217,13 +217,21 @@ def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_r
     (no flash tiling — [D,1536] int8 is 2 MB of VMEM), so the softmax is
     exact in one pass; m/l are still returned for interface parity with v1
     (the self-attention extra-key merge needs them).
+
+    ``packed=True``: K/V blocks are int4 pairs in uint8 (positions ``j``
+    and ``j+T/2`` share a byte, decoder.pack_int4). Unpacking is two
+    shifts + one lane/sublane concat in VMEM — the HBM read is halved.
     """
     valid = scalar_ref[1]
     qh = qh_ref[0]  # [HS, D] compute dtype, row h = q masked to head h
-    k = kT_ref[0, 0]  # [D, T] (int8 caches convert on the way in)
+    if packed:
+        kp = kT_ref[0, 0].astype(jnp.int32)  # [D, T/2] biased nibbles
+        k = jnp.concatenate([(kp & 15) - 8, (kp >> 4) - 8], axis=1).astype(qh.dtype)
+    else:
+        k = kT_ref[0, 0].astype(qh.dtype)  # [D, T] (int8 converts on the way in)
     t = k.shape[1]
 
-    s = jnp.dot(qh, k.astype(qh.dtype), preferred_element_type=jnp.float32) * scale
+    s = jnp.dot(qh, k, preferred_element_type=jnp.float32) * scale
     in_range = jax.lax.broadcasted_iota(jnp.int32, (HS, t), 1) < valid
     s = jnp.where(in_range, s, NEG_BIG)
 
@@ -231,7 +239,11 @@ def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_r
     p = jnp.where(in_range, jnp.exp(s - m), 0.0)
     l = jnp.sum(p, axis=1, keepdims=True)
 
-    v = v_ref[0, 0].astype(qh.dtype)  # [T, D]
+    if packed:
+        vp = v_ref[0, 0].astype(jnp.int32)  # [T/2, D]
+        v = jnp.concatenate([(vp & 15) - 8, (vp >> 4) - 8], axis=0).astype(qh.dtype)
+    else:
+        v = v_ref[0, 0].astype(qh.dtype)  # [T, D]
     pv = jnp.dot(p.astype(qh.dtype), v, preferred_element_type=jnp.float32)  # [HS, D]
     # collapse head rows: out[d] = pv[head(d), d]
     acc_ref[0] = jnp.sum(pv * hmask_ref[:], axis=0, keepdims=True)  # [1, D]
@@ -243,7 +255,8 @@ def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_r
     jax.jit, static_argnames=("n_heads", "batch_groups", "interpret")
 )
 def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, batch_groups, interpret):
-    l_dim, _, d, t = kT4.shape
+    l_dim, _, d, ts = kT4.shape  # ts = stored length (T/2 when packed)
+    packed = kT4.dtype == jnp.uint8
     b = q.shape[0]
     dh = d // n_heads
     scale = 1.0 / np.sqrt(dh)
@@ -260,12 +273,12 @@ def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, batch_groups, interpret):
             pl.BlockSpec((1, HS, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((HS, d), lambda b, sc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, d, t),
+                (1, 1, d, ts),
                 lambda b, sc: (sc[0], b // batch_groups, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, t, d),
+                (1, 1, ts, d),
                 lambda b, sc: (sc[0], b // batch_groups, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -277,7 +290,7 @@ def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, batch_groups, interpret):
         ),
     )
     acc, m, l = pl.pallas_call(
-        functools.partial(_kt_kernel, scale=scale),
+        functools.partial(_kt_kernel, scale=scale, packed=packed),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
@@ -321,11 +334,17 @@ def decode_attention_kT(
     shape is unsupported — but reads keys in ``[D, T]`` layout, which only
     the *cross* cache uses (it is written once per utterance; a per-step
     transposed self-cache write would be a lane-dimension scatter).
+
+    uint8 caches are int4 pairs packed along T (stored length T/2,
+    decoder.pack_int4); the kernel unpacks them in VMEM.
     """
-    l_dim, kb, d, t = kT4.shape
-    if v4.shape != (l_dim, kb, t, d) or q.shape != (kb * batch_groups, 1, d):
+    l_dim, kb, d, ts = kT4.shape
+    packed = kT4.dtype == jnp.uint8
+    t = ts * 2 if packed else ts  # logical key count (for valid_len masking)
+    if v4.shape != (l_dim, kb, ts, d) or q.shape != (kb * batch_groups, 1, d):
         return None
-    if not kt_kernel_supported(t, d, n_heads, kT4.dtype.itemsize):
+    itemsize = 0.5 if packed else kT4.dtype.itemsize
+    if not kt_kernel_supported(t, d, n_heads, itemsize):
         return None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
