@@ -260,3 +260,54 @@ def test_int4_cross_kv_close_to_bf16():
     scale = np.abs(base).max()
     assert np.abs(base - quant).max() < 0.05 * scale + 0.1
     assert np.abs(base_step - quant_step).max() < 0.05 * np.abs(base_step).max() + 0.1
+
+
+def test_int8_self_kv_close_to_bf16():
+    """Compute.fastest()'s per-token int8 self cache tracks the bf16-cache
+    path through a multi-step greedy decode (flash and XLA paths both
+    quantize on write, dequantize on read)."""
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+    params = random_params(cfg, seed=41, quantized=False)
+    mel = _mel(seed=42)[:, : cfg.n_mels, : cfg.n_audio_ctx * 2]
+    lang = jnp.full((2,), cfg.lang_token_start, jnp.int32)
+
+    base = greedy_decode(
+        params, cfg, mel, lang, COMPUTE.replace(self_kv_dtype=None), max_tokens=8
+    )
+    quant = greedy_decode(
+        params, cfg, mel, lang, COMPUTE.replace(self_kv_dtype=jnp.int8), max_tokens=8
+    )
+    # random tiny-model logits are close to argmax ties; require most tokens
+    # to agree rather than exact equality
+    agree = np.mean(np.asarray(base.tokens) == np.asarray(quant.tokens))
+    assert agree >= 0.75, (base.tokens, quant.tokens)
+
+
+def test_int8_self_kv_prefill_roundtrip():
+    """Prefill writes quantized self-KV whose dequantized values match the
+    bf16 cache within int8 resolution."""
+    from whisper_burn_tpu.models.decoder import fill_cross_cache
+
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+    params = random_params(cfg, seed=43, quantized=False)
+    mel = _mel(seed=44)[:, : cfg.n_mels, : cfg.n_audio_ctx * 2]
+    enc_out = encode(params, mel, cfg, COMPUTE)
+    prompt = jnp.tile(jnp.asarray([[SOT, 50259, 50359, 50363]], jnp.int32), (2, 1))
+
+    def run(compute):
+        cache = init_cache(cfg, 2, compute)
+        cache = fill_cross_cache(params, cfg, enc_out, cache, compute)
+        _, cache = prefill(params, cfg, prompt, cache, compute)
+        return cache
+
+    base = run(COMPUTE.replace(self_kv_dtype=None))
+    quant = run(COMPUTE.replace(self_kv_dtype=jnp.int8))
+    assert quant.self_k.dtype == jnp.int8
+    assert quant.self_k_scale.shape == quant.self_k.shape[:3] + (1,)
+    k_deq = np.asarray(quant.self_k).astype(np.float32) * np.asarray(quant.self_k_scale)
+    k_ref = np.asarray(base.self_k).astype(np.float32)
+    t = prompt.shape[1]
+    amax = np.abs(k_ref[:, :, :t]).max(axis=-1, keepdims=True)
+    np.testing.assert_allclose(
+        k_deq[:, :, :t], k_ref[:, :, :t], atol=1e-6 + (amax / 127).max()
+    )

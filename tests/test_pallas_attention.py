@@ -226,3 +226,67 @@ def test_kt_int4_packed_matches_unpacked(valid):
         h, mask=length_mask(jnp.asarray(valid), t), compute=COMPUTE,
     )
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() / np.abs(np.asarray(ref)).max() < 2e-2
+
+
+@pytest.mark.parametrize("valid", [5, 64, 128])
+def test_scaled_int8_cache_matches_dequantized(valid):
+    """Per-token int8 K/V with [L,B,T,1] scales == einsum on the dequantized
+    cache (the self-KV quantization path, decoder._quantize_tokens)."""
+    import jax
+
+    from whisper_burn_tpu.models.decoder import _quantize_tokens
+    from whisper_burn_tpu.ops.pallas_attention import decode_attention_layer
+
+    b, t, d, h = 2, 128, 128, 2
+    q, k, v = _setup(b, t, d, seed=7)
+    kq, ksc = _quantize_tokens(k)  # [B, T, D] int8, [B, T, 1] f32
+    vq, vsc = _quantize_tokens(v)
+
+    res = decode_attention_layer(
+        q,
+        kq[None],
+        vq[None],
+        jnp.asarray(0),
+        jnp.asarray(valid),
+        h,
+        k_scale4=ksc[None],
+        v_scale4=vsc[None],
+        interpret=True,
+    )
+    assert res is not None
+    acc, m, l = res
+    out = normalize(acc, l, h)
+
+    k_deq = kq.astype(jnp.float32) * ksc
+    v_deq = vq.astype(jnp.float32) * vsc
+    ref = attention(
+        q, k_deq, v_deq, h, mask=length_mask(jnp.asarray(valid), t), compute=COMPUTE
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_scaled_kernel_extra_key_merge():
+    """Flash state (m, l) from the scaled kernel merges correctly with an
+    exact (unquantized) current-token key — the decode-step composition."""
+    from whisper_burn_tpu.models.decoder import _quantize_tokens
+    from whisper_burn_tpu.ops.pallas_attention import decode_attention_layer
+
+    b, t, d, h = 2, 64, 128, 2
+    pos = 17
+    q, k, v = _setup(b, t, d, seed=8)
+    kq, ksc = _quantize_tokens(k)
+    vq, vsc = _quantize_tokens(v)
+
+    acc, m, l = decode_attention_layer(
+        q, kq[None], vq[None], jnp.asarray(0), jnp.asarray(pos), h,
+        k_scale4=ksc[None], v_scale4=vsc[None], interpret=True,
+    )
+    out = flash_merge_extra_key(acc, m, l, q, k[:, pos : pos + 1], v[:, pos : pos + 1], h)
+
+    # reference: dequantized cache for [0,pos), exact key at pos
+    k_deq = (kq.astype(jnp.float32) * ksc).at[:, pos].set(k[:, pos])
+    v_deq = (vq.astype(jnp.float32) * vsc).at[:, pos].set(v[:, pos])
+    ref = attention(
+        q, k_deq, v_deq, h, mask=length_mask(jnp.asarray(pos + 1), t), compute=COMPUTE
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

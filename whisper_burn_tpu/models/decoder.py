@@ -59,6 +59,11 @@ class KVCache(NamedTuple):
     cross_v: jnp.ndarray  # [L, B, n_audio_ctx, D]
     cross_k_scale: jnp.ndarray | None = None  # [L, D] f32 when int8
     cross_v_scale: jnp.ndarray | None = None
+    # self K/V arrive one token at a time, so int8 storage uses per-TOKEN
+    # absmax/127 scales (vs the cross cache's per-channel scales); the
+    # trailing singleton keeps scales on sublanes inside the decode kernel.
+    self_k_scale: jnp.ndarray | None = None  # [L, B, n_text_ctx, 1] f32 when int8
+    self_v_scale: jnp.ndarray | None = None
 
 
 def init_cache(
@@ -81,8 +86,14 @@ def init_cache(
         if cross_kt_layout(cfg, compute)
         else z(stored_t, kv_dt)
     )
+    self_dt = compute.self_kv_storage_dtype
+    ssc = (
+        (jnp.zeros((l, batch, ctx, 1), jnp.float32),) * 2
+        if compute.quantized_self_kv
+        else (None, None)
+    )
     return KVCache(
-        z(ctx, compute.dtype), z(ctx, compute.dtype), ck, z(stored_t, kv_dt), *sc
+        z(ctx, self_dt), z(ctx, self_dt), ck, z(stored_t, kv_dt), *sc, *ssc
     )
 
 
@@ -171,6 +182,18 @@ def compute_cross_kv(
         pad = ((0, 0), (0, 0), (0, pad_to - t), (0, 0))
         cks, cvs = jnp.pad(cks, pad), jnp.pad(cvs, pad)
     return cks, cvs
+
+
+def _quantize_tokens(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token symmetric int8 quantization over the channel axis.
+
+    ``x: [..., D]`` -> (``int8 [..., D]``, ``f32 scale [..., 1]``). Used for
+    the self-KV cache, whose entries are written one token at a time.
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    return jnp.round(xf / scale).astype(jnp.int8), scale
 
 
 def _quantize_kv_layer(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -327,9 +350,16 @@ def prefill(
     )
 
     sl = (slice(None), slice(None), slice(pos_offset, pos_offset + t))
+    if compute.quantized_self_kv:
+        ks, ksc = _quantize_tokens(ks)
+        vs, vsc = _quantize_tokens(vs)
+        cache = cache._replace(
+            self_k_scale=cache.self_k_scale.at[sl].set(ksc),
+            self_v_scale=cache.self_v_scale.at[sl].set(vsc),
+        )
     cache = cache._replace(
-        self_k=cache.self_k.at[sl].set(ks),
-        self_v=cache.self_v.at[sl].set(vs),
+        self_k=cache.self_k.at[sl].set(ks.astype(cache.self_k.dtype)),
+        self_v=cache.self_v.at[sl].set(vs.astype(cache.self_v.dtype)),
     )
     logits = _logits(dec, x[:, -1], cfg, compute)
     return logits, cache
@@ -381,16 +411,31 @@ def decode_step(
     ksc = cache.cross_k_scale if quantized_cross else dummy
     vsc = cache.cross_v_scale if quantized_cross else dummy
 
+    quantized_self = compute.quantized_self_kv
+
     def block(carry, xs):
-        x, sk, sv = carry
+        x, sk, sv, sksc, svsc = carry
         bp, ck, cv, ks_l, vs_l, l = xs
 
         h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
         q, k, v = qkv_proj(bp, h, compute)  # [B, 1, D] each
-        sk = jax.lax.dynamic_update_slice(sk, k[None], (l, 0, pos, 0))
-        sv = jax.lax.dynamic_update_slice(sv, v[None], (l, 0, pos, 0))
+        if quantized_self:
+            kq, ksc = _quantize_tokens(k)
+            vq, vsc = _quantize_tokens(v)
+            sk = jax.lax.dynamic_update_slice(sk, kq[None], (l, 0, pos, 0))
+            sv = jax.lax.dynamic_update_slice(sv, vq[None], (l, 0, pos, 0))
+            sksc = jax.lax.dynamic_update_slice(sksc, ksc[None], (l, 0, pos, 0))
+            svsc = jax.lax.dynamic_update_slice(svsc, vsc[None], (l, 0, pos, 0))
+        else:
+            sk = jax.lax.dynamic_update_slice(sk, k[None], (l, 0, pos, 0))
+            sv = jax.lax.dynamic_update_slice(sv, v[None], (l, 0, pos, 0))
         k_full = jax.lax.dynamic_index_in_dim(sk, l, 0, keepdims=False)
         v_full = jax.lax.dynamic_index_in_dim(sv, l, 0, keepdims=False)
+        if quantized_self:
+            ksc_full = jax.lax.dynamic_index_in_dim(sksc, l, 0, keepdims=False)
+            vsc_full = jax.lax.dynamic_index_in_dim(svsc, l, 0, keepdims=False)
+            k_full = k_full.astype(compute.dtype) * ksc_full.astype(compute.dtype)
+            v_full = v_full.astype(compute.dtype) * vsc_full.astype(compute.dtype)
         a = attention(q, k_full, v_full, cfg.n_text_head, mask=mask, compute=compute)
         x = x + apply_linear(bp["attn_o"], a, compute)
 
@@ -405,15 +450,25 @@ def decode_step(
 
         h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
         x = x + apply_ffn(bp, h, cfg.gelu, compute)
-        return (x, sk, sv), None
+        return (x, sk, sv, sksc, svsc), None
 
-    (x, sk, sv), _ = jax.lax.scan(
+    zero = jnp.zeros((), jnp.float32)  # scan carries must be arrays
+    (x, sk, sv, sksc, svsc), _ = jax.lax.scan(
         block,
-        (x, cache.self_k, cache.self_v),
+        (
+            x,
+            cache.self_k,
+            cache.self_v,
+            cache.self_k_scale if quantized_self else zero,
+            cache.self_v_scale if quantized_self else zero,
+        ),
         (params["decoder"]["blocks"], cache.cross_k, cache.cross_v, ksc, vsc, layer_idx),
     )
     logits = _logits(dec, x[:, 0], cfg, compute)
-    return logits, cache._replace(self_k=sk, self_v=sv)
+    cache = cache._replace(self_k=sk, self_v=sv)
+    if quantized_self:
+        cache = cache._replace(self_k_scale=sksc, self_v_scale=svsc)
+    return logits, cache
 
 
 def _flash_supported(cfg: WhisperConfig, cache: KVCache, compute: Compute) -> bool:
@@ -470,7 +525,8 @@ def _decode_step_flash(
         # scores a lanes-x-lanes contraction that Mosaic must transpose,
         # while the v1 lane-padded form feeds the MXU directly.
         acc, m, lsum = decode_attention_layer(
-            q, cache.self_k, cache.self_v, l, pos, h
+            q, cache.self_k, cache.self_v, l, pos, h,
+            k_scale4=cache.self_k_scale, v_scale4=cache.self_v_scale,
         )
         a = flash_merge_extra_key(acc, m, lsum, q, k_new, v_new, h).astype(compute.dtype)
         x = x + apply_linear(bp["attn_o"], a, compute)
@@ -500,6 +556,17 @@ def _decode_step_flash(
     x, (ks, vs) = jax.lax.scan(block, x, (dec["blocks"], layer_idx))
 
     # deferred cache write: one slot across all layers
+    if compute.quantized_self_kv:
+        ks, ksc = _quantize_tokens(ks)  # [L, B, 1, D] -> int8 + [L, B, 1, 1]
+        vs, vsc = _quantize_tokens(vs)
+        cache = cache._replace(
+            self_k_scale=jax.lax.dynamic_update_slice(
+                cache.self_k_scale, ksc, (0, 0, pos, 0)
+            ),
+            self_v_scale=jax.lax.dynamic_update_slice(
+                cache.self_v_scale, vsc, (0, 0, pos, 0)
+            ),
+        )
     sk = jax.lax.dynamic_update_slice(
         cache.self_k, ks.astype(cache.self_k.dtype), (0, 0, pos, 0)
     )

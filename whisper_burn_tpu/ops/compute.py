@@ -37,6 +37,11 @@ class Compute:
     # 4 packs two int4 values per stored byte (positions t and t+T/2 share
     # a byte), halving cross-KV traffic again; requires quantized kv_dtype.
     kv_bits: int = 8
+    # self-attention KV cache storage dtype; None = same as ``dtype``.
+    # int8 uses per-token absmax/127 scales (stored [L, B, T, 1]) applied
+    # inside the decode kernel — unlike the cross cache, self K/V arrive one
+    # token at a time, so per-channel scales can't be fixed up front.
+    self_kv_dtype: jnp.dtype | None = None
 
     @classmethod
     def parity(cls) -> "Compute":
@@ -56,6 +61,7 @@ class Compute:
             precision=jax.lax.Precision.DEFAULT,
             kv_dtype=jnp.int8,
             kv_bits=kv_bits,
+            self_kv_dtype=jnp.int8,
         )
 
     @property
@@ -72,6 +78,14 @@ class Compute:
     @property
     def kv_packed(self) -> bool:
         return self.quantized_kv and self.kv_bits == 4
+
+    @property
+    def self_kv_storage_dtype(self):
+        return self.dtype if self.self_kv_dtype is None else self.self_kv_dtype
+
+    @property
+    def quantized_self_kv(self) -> bool:
+        return self.self_kv_storage_dtype == jnp.int8
 
     def replace(self, **kw) -> "Compute":
         return dataclasses.replace(self, **kw)

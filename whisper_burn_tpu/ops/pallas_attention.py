@@ -44,7 +44,15 @@ NEG_BIG = -1e30
 H_PAD = 128  # lane width for the per-head m/l state
 
 
-def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, acc_ref, m_ref, l_ref, *, scale, kt):
+def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest, scale, kt, scaled):
+    """``scaled=True``: K/V blocks are int8 with per-token absmax scales in
+    two extra ``[kt, 1]`` f32 operands — the K scale multiplies the scores
+    row-wise (before softmax), the V scale weights each key's softmax mass
+    in the value sum (the normalizer ``l`` stays unscaled)."""
+    if scaled:
+        ksc_ref, vsc_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
     t_step = pl.program_id(1)
 
     @pl.when(t_step == 0)
@@ -67,6 +75,8 @@ def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, acc_ref, m_ref, l_ref,
     # scores for all heads in one MXU op; padded head columns carry zeros
     # in qmat, their m/l state is garbage but sliced away by the wrapper.
     s = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # [kt, Hp]
+    if scaled:
+        s = s * ksc_ref[0, 0]  # [kt, 1] per-token K dequant scale
     s = jnp.where(in_range, s, NEG_BIG)
 
     m_prev = m_ref[0]  # [1, Hp]
@@ -79,6 +89,8 @@ def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, acc_ref, m_ref, l_ref,
 
     # broadcast per-head weights across each head's dh lanes, then reduce
     # over the key axis: acc_d += sum_t p[t, head(d)] * v[t, d]
+    if scaled:
+        p = p * vsc_ref[0, 0]  # fold the per-token V dequant scale into p
     p_full = jnp.dot(p.astype(v.dtype), emat, preferred_element_type=jnp.float32)  # [kt, D]
     pv = jnp.sum(p_full * v.astype(jnp.float32), axis=0, keepdims=True)  # [1, D]
     alpha_full = jnp.dot(alpha.astype(v.dtype), emat, preferred_element_type=jnp.float32)
@@ -88,11 +100,12 @@ def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, acc_ref, m_ref, l_ref,
 @functools.partial(
     jax.jit, static_argnames=("n_heads", "kt", "batch_groups", "interpret")
 )
-def _decode_attn_call(q, k4, v4, scalars, *, n_heads, kt, batch_groups, interpret):
+def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, batch_groups, interpret):
     l_dim, _, t, d = k4.shape
     b = q.shape[0]  # stream count; k4 batch = b // batch_groups
     dh = d // n_heads
     scale = 1.0 / np.sqrt(dh)
+    scaled = bool(scales)
 
     head_of_d = np.arange(d) // dh  # [D]
     dmask = head_of_d[:, None] == np.arange(H_PAD)[None, :]  # [D, Hp]
@@ -100,6 +113,16 @@ def _decode_attn_call(q, k4, v4, scalars, *, n_heads, kt, batch_groups, interpre
     qmat = q.reshape(b, d, 1) * dmask[None]  # [B, D, Hp]
     emat = dmask.T  # [Hp, D]
 
+    kv_spec = pl.BlockSpec(
+        (1, 1, kt, d),
+        lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
+        memory_space=pltpu.VMEM,
+    )
+    sc_spec = pl.BlockSpec(
+        (1, 1, kt, 1),
+        lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
+        memory_space=pltpu.VMEM,
+    )
     grid = (b, t // kt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # scalars = [layer, valid_len]
@@ -107,16 +130,9 @@ def _decode_attn_call(q, k4, v4, scalars, *, n_heads, kt, batch_groups, interpre
         in_specs=[
             pl.BlockSpec((1, d, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H_PAD, d), lambda b, s, sc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, kt, d),
-                lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, kt, d),
-                lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            kv_spec,
+            kv_spec,
+            *([sc_spec, sc_spec] if scaled else []),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -125,7 +141,7 @@ def _decode_attn_call(q, k4, v4, scalars, *, n_heads, kt, batch_groups, interpre
         ),
     )
     acc, m, l = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, kt=kt),
+        functools.partial(_kernel, scale=scale, kt=kt, scaled=scaled),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
@@ -136,7 +152,7 @@ def _decode_attn_call(q, k4, v4, scalars, *, n_heads, kt, batch_groups, interpre
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(scalars, qmat, emat, k4, v4)
+    )(scalars, qmat, emat, k4, v4, *scales)
     return acc, m[..., :n_heads], l[..., :n_heads]
 
 
@@ -149,15 +165,18 @@ def decode_attention_layer(
     n_heads: int,
     *,
     batch_groups: int = 1,
+    k_scale4: jnp.ndarray | None = None,  # [L, B, T, 1] f32 per-token scales
+    v_scale4: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None:
     """Attention of one query over layer ``layer`` of a layered KV cache.
 
     ``batch_groups=G > 1`` shares each cache entry among G consecutive
     query streams (beam search: W beams read their utterance's cross cache
-    without duplicating it). Returns ``(acc [B*G,1,D] f32, m, l)``
-    unnormalized, or None if the shape is unsupported (caller falls back
-    to XLA).
+    without duplicating it). ``k_scale4``/``v_scale4`` dequantize an int8
+    cache with per-token absmax scales. Returns ``(acc [B*G,1,D] f32, m,
+    l)`` unnormalized, or None if the shape is unsupported (caller falls
+    back to XLA).
     """
     _, kb, t, d = k4.shape
     if d % n_heads != 0 or q.shape != (kb * batch_groups, 1, d) or n_heads > H_PAD:
@@ -165,13 +184,16 @@ def decode_attention_layer(
     kt = _largest_tile(t)
     if kt is None:
         return None
+    if (k_scale4 is None) != (v_scale4 is None):
+        return None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     scalars = jnp.stack(
         [jnp.asarray(layer, jnp.int32), jnp.asarray(valid_len, jnp.int32)]
     )
+    scales = () if k_scale4 is None else (k_scale4, v_scale4)
     return _decode_attn_call(
-        q, k4, v4, scalars,
+        q, k4, v4, scalars, *scales,
         n_heads=n_heads, kt=kt, batch_groups=batch_groups, interpret=interpret,
     )
 
