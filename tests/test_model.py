@@ -303,8 +303,10 @@ def test_int8_self_kv_prefill_roundtrip():
     base = run(COMPUTE.replace(self_kv_dtype=None))
     quant = run(COMPUTE.replace(self_kv_dtype=jnp.int8))
     assert quant.self_k.dtype == jnp.int8
-    assert quant.self_k_scale.shape == quant.self_k.shape[:3] + (1,)
-    k_deq = np.asarray(quant.self_k).astype(np.float32) * np.asarray(quant.self_k_scale)
+    assert quant.self_kv_scale.shape == quant.self_k.shape[:3] + (2,)
+    k_deq = np.asarray(quant.self_k).astype(np.float32) * np.asarray(
+        quant.self_kv_scale[..., 0:1]
+    )
     k_ref = np.asarray(base.self_k).astype(np.float32)
     t = prompt.shape[1]
     amax = np.abs(k_ref[:, :, :t]).max(axis=-1, keepdims=True)

@@ -210,9 +210,9 @@ def test_kt_int4_packed_matches_unpacked(valid):
     q = jnp.asarray(rng.standard_normal((b, 1, d)).astype(np.float32)).astype(jnp.bfloat16)
     k4 = jnp.asarray(rng.integers(-8, 8, (b, t, d)).astype(np.int8))
     v4 = jnp.asarray(rng.integers(-8, 8, (b, t, d)).astype(np.int8))
-    kp = pack_int4(k4, axis=1)  # [B, T/2, D]
-    vp = pack_int4(v4, axis=1)
-    kTp = jnp.swapaxes(kp, -1, -2)[None]  # [1, B, D, T/2]
+    kp = pack_int4(k4, axis=2)  # keys pack along D: [B, T, D/2]
+    vp = pack_int4(v4, axis=1)  # values pack along T: [B, T/2, D]
+    kTp = jnp.swapaxes(kp, -1, -2)[None]  # [1, B, D/2, T]
     res = decode_attention_kT(
         q, kTp, vp[None], jnp.asarray(0), jnp.asarray(valid), h, interpret=True
     )
@@ -241,6 +241,7 @@ def test_scaled_int8_cache_matches_dequantized(valid):
     q, k, v = _setup(b, t, d, seed=7)
     kq, ksc = _quantize_tokens(k)  # [B, T, D] int8, [B, T, 1] f32
     vq, vsc = _quantize_tokens(v)
+    kvsc = jnp.concatenate([ksc, vsc], axis=-1)  # [B, T, 2]
 
     res = decode_attention_layer(
         q,
@@ -249,8 +250,7 @@ def test_scaled_int8_cache_matches_dequantized(valid):
         jnp.asarray(0),
         jnp.asarray(valid),
         h,
-        k_scale4=ksc[None],
-        v_scale4=vsc[None],
+        kv_scale4=kvsc[None],
         interpret=True,
     )
     assert res is not None
@@ -277,9 +277,10 @@ def test_scaled_kernel_extra_key_merge():
     kq, ksc = _quantize_tokens(k)
     vq, vsc = _quantize_tokens(v)
 
+    kvsc = jnp.concatenate([ksc, vsc], axis=-1)
     acc, m, l = decode_attention_layer(
         q, kq[None], vq[None], jnp.asarray(0), jnp.asarray(pos), h,
-        k_scale4=ksc[None], v_scale4=vsc[None], interpret=True,
+        kv_scale4=kvsc[None], interpret=True,
     )
     out = flash_merge_extra_key(acc, m, l, q, k[:, pos : pos + 1], v[:, pos : pos + 1], h)
 

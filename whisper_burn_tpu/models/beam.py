@@ -114,14 +114,13 @@ def beam_decode(
     from whisper_burn_tpu.models.decoder import _flash_supported
 
     share_cross = _flash_supported(cfg, utt_cache, compute)
-    quantized_self = utt_cache.self_k_scale is not None
+    quantized_self = utt_cache.self_kv_scale is not None
     cache = utt_cache._replace(
         self_k=rep(utt_cache.self_k),
         self_v=rep(utt_cache.self_v),
         cross_k=utt_cache.cross_k if share_cross else rep(utt_cache.cross_k),
         cross_v=utt_cache.cross_v if share_cross else rep(utt_cache.cross_v),
-        self_k_scale=rep(utt_cache.self_k_scale) if quantized_self else None,
-        self_v_scale=rep(utt_cache.self_v_scale) if quantized_self else None,
+        self_kv_scale=rep(utt_cache.self_kv_scale) if quantized_self else None,
     )
     batch_groups = w if share_cross else 1
 
@@ -175,11 +174,8 @@ def beam_decode(
         cache3 = cache2._replace(
             self_k=jnp.take(cache2.self_k, src, axis=1),
             self_v=jnp.take(cache2.self_v, src, axis=1),
-            self_k_scale=(
-                jnp.take(cache2.self_k_scale, src, axis=1) if quantized_self else None
-            ),
-            self_v_scale=(
-                jnp.take(cache2.self_v_scale, src, axis=1) if quantized_self else None
+            self_kv_scale=(
+                jnp.take(cache2.self_kv_scale, src, axis=1) if quantized_self else None
             ),
         )
         return State(s.k + 1, new_tok, new_tokens, new_scores, new_done, cache3)

@@ -60,10 +60,11 @@ class KVCache(NamedTuple):
     cross_k_scale: jnp.ndarray | None = None  # [L, D] f32 when int8
     cross_v_scale: jnp.ndarray | None = None
     # self K/V arrive one token at a time, so int8 storage uses per-TOKEN
-    # absmax/127 scales (vs the cross cache's per-channel scales); the
-    # trailing singleton keeps scales on sublanes inside the decode kernel.
-    self_k_scale: jnp.ndarray | None = None  # [L, B, n_text_ctx, 1] f32 when int8
-    self_v_scale: jnp.ndarray | None = None
+    # absmax/127 scales (vs the cross cache's per-channel scales), stored
+    # interleaved [L, B, T, 2] (K in lane 0, V in lane 1) so the decode
+    # kernel fetches both with ONE small DMA per block and reads them on
+    # sublanes.
+    self_kv_scale: jnp.ndarray | None = None  # [L, B, n_text_ctx, 2] f32 when int8
 
 
 def init_cache(
@@ -81,19 +82,22 @@ def init_cache(
     # int4: two time positions pack into each stored byte (uint8)
     stored_t = cross_t // 2 if compute.kv_packed else cross_t
     sc = (jnp.ones((l, d), jnp.float32),) * 2 if compute.quantized_kv else (None, None)
-    ck = (
-        jnp.zeros((l, batch, d, stored_t), kv_dt)
-        if cross_kt_layout(cfg, compute)
-        else z(stored_t, kv_dt)
-    )
+    # kT layout: int4 keys pack along D (stored [D/2, T], pairs split-dotted
+    # in the kernel); int8/bf16 keys stay [D, T]
+    if cross_kt_layout(cfg, compute):
+        ck = jnp.zeros(
+            (l, batch, d // 2 if compute.kv_packed else d, cross_t), kv_dt
+        )
+    else:
+        ck = z(stored_t, kv_dt)
     self_dt = compute.self_kv_storage_dtype
     ssc = (
-        (jnp.zeros((l, batch, ctx, 1), jnp.float32),) * 2
+        jnp.zeros((l, batch, ctx, 2), jnp.float32)
         if compute.quantized_self_kv
-        else (None, None)
+        else None
     )
     return KVCache(
-        z(ctx, self_dt), z(ctx, self_dt), ck, z(stored_t, kv_dt), *sc, *ssc
+        z(ctx, self_dt), z(ctx, self_dt), ck, z(stored_t, kv_dt), *sc, ssc
     )
 
 
@@ -223,13 +227,14 @@ def unpack_int4(p: jnp.ndarray, axis: int, dtype) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=axis).astype(dtype)
 
 
-def _quantize_kv_layer4(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _quantize_kv_layer4(x: jnp.ndarray, axis: int = 1) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-channel int4 quantization of one layer's [B, T, D], packed along
-    T. Scale = absmax/7 per channel (Q4_0's rule, scripts §2.5)."""
+    ``axis`` (1 = T for values, 2 = D for kT-layout keys). Scale = absmax/7
+    per channel (Q4_0's rule, scripts §2.5)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1))  # [D]
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7).astype(jnp.int8)
-    return pack_int4(q, axis=1), scale
+    return pack_int4(q, axis=axis), scale
 
 
 def fill_cross_cache(
@@ -259,17 +264,23 @@ def fill_cross_cache(
     enc = enc_out.astype(compute.dtype)
     pad_to = cross_cache_len(cfg, compute)
     t = enc.shape[1]
-    quantize = _quantize_kv_layer4 if compute.kv_packed else _quantize_kv_layer
+    packed = compute.kv_packed
 
     def block(_, bp):
         ck, cv = cross_kv_proj(bp, enc, compute)
         if pad_to > t:
             pad = ((0, 0), (0, pad_to - t), (0, 0))
             ck, cv = jnp.pad(ck, pad), jnp.pad(cv, pad)
-        ck_q, ks = quantize(ck)
-        cv_q, vs = quantize(cv)
+        if packed:
+            # kT keys pack along D, values along T (the kernel split-dots
+            # the halves; see ops/pallas_attention._kt_kernel)
+            ck_q, ks = _quantize_kv_layer4(ck, axis=2 if transposed else 1)
+            cv_q, vs = _quantize_kv_layer4(cv, axis=1)
+        else:
+            ck_q, ks = _quantize_kv_layer(ck)
+            cv_q, vs = _quantize_kv_layer(cv)
         if transposed:
-            ck_q = jnp.swapaxes(ck_q, 1, 2)  # [B, T(/2), D] -> [B, D, T(/2)]
+            ck_q = jnp.swapaxes(ck_q, 1, 2)  # [B, T, D(/2)] -> [B, D(/2), T]
         return None, (ck_q, cv_q, ks, vs)
 
     _, (ck_q, cv_q, k_scale, v_scale) = jax.lax.scan(
@@ -287,8 +298,8 @@ def _dequant_layer(
     + [D] scale -> compute dtype."""
     if scale is None:
         return c
-    if c.dtype == jnp.uint8:  # int4-packed along the T axis
-        c = unpack_int4(c, axis=2 if transposed else 1, dtype=dtype)
+    if c.dtype == jnp.uint8:  # int4-packed: keys along D (kT), values along T
+        c = unpack_int4(c, axis=1, dtype=dtype)
     s = scale.astype(dtype)
     return c.astype(dtype) * (s[None, :, None] if transposed else s[None, None, :])
 
@@ -353,9 +364,9 @@ def prefill(
     if compute.quantized_self_kv:
         ks, ksc = _quantize_tokens(ks)
         vs, vsc = _quantize_tokens(vs)
+        kvsc = jnp.concatenate([ksc, vsc], axis=-1)  # [L, B, t, 2]
         cache = cache._replace(
-            self_k_scale=cache.self_k_scale.at[sl].set(ksc),
-            self_v_scale=cache.self_v_scale.at[sl].set(vsc),
+            self_kv_scale=cache.self_kv_scale.at[sl].set(kvsc),
         )
     cache = cache._replace(
         self_k=cache.self_k.at[sl].set(ks.astype(cache.self_k.dtype)),
@@ -414,7 +425,7 @@ def decode_step(
     quantized_self = compute.quantized_self_kv
 
     def block(carry, xs):
-        x, sk, sv, sksc, svsc = carry
+        x, sk, sv, ssc = carry
         bp, ck, cv, ks_l, vs_l, l = xs
 
         h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
@@ -424,18 +435,18 @@ def decode_step(
             vq, vsc = _quantize_tokens(v)
             sk = jax.lax.dynamic_update_slice(sk, kq[None], (l, 0, pos, 0))
             sv = jax.lax.dynamic_update_slice(sv, vq[None], (l, 0, pos, 0))
-            sksc = jax.lax.dynamic_update_slice(sksc, ksc[None], (l, 0, pos, 0))
-            svsc = jax.lax.dynamic_update_slice(svsc, vsc[None], (l, 0, pos, 0))
+            kvsc = jnp.concatenate([ksc, vsc], axis=-1)  # [B, 1, 2]
+            ssc = jax.lax.dynamic_update_slice(ssc, kvsc[None], (l, 0, pos, 0))
         else:
             sk = jax.lax.dynamic_update_slice(sk, k[None], (l, 0, pos, 0))
             sv = jax.lax.dynamic_update_slice(sv, v[None], (l, 0, pos, 0))
         k_full = jax.lax.dynamic_index_in_dim(sk, l, 0, keepdims=False)
         v_full = jax.lax.dynamic_index_in_dim(sv, l, 0, keepdims=False)
         if quantized_self:
-            ksc_full = jax.lax.dynamic_index_in_dim(sksc, l, 0, keepdims=False)
-            vsc_full = jax.lax.dynamic_index_in_dim(svsc, l, 0, keepdims=False)
-            k_full = k_full.astype(compute.dtype) * ksc_full.astype(compute.dtype)
-            v_full = v_full.astype(compute.dtype) * vsc_full.astype(compute.dtype)
+            sc_full = jax.lax.dynamic_index_in_dim(ssc, l, 0, keepdims=False)
+            sc_full = sc_full.astype(compute.dtype)  # [B, ctx, 2]
+            k_full = k_full.astype(compute.dtype) * sc_full[..., 0:1]
+            v_full = v_full.astype(compute.dtype) * sc_full[..., 1:2]
         a = attention(q, k_full, v_full, cfg.n_text_head, mask=mask, compute=compute)
         x = x + apply_linear(bp["attn_o"], a, compute)
 
@@ -450,24 +461,23 @@ def decode_step(
 
         h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
         x = x + apply_ffn(bp, h, cfg.gelu, compute)
-        return (x, sk, sv, sksc, svsc), None
+        return (x, sk, sv, ssc), None
 
     zero = jnp.zeros((), jnp.float32)  # scan carries must be arrays
-    (x, sk, sv, sksc, svsc), _ = jax.lax.scan(
+    (x, sk, sv, ssc), _ = jax.lax.scan(
         block,
         (
             x,
             cache.self_k,
             cache.self_v,
-            cache.self_k_scale if quantized_self else zero,
-            cache.self_v_scale if quantized_self else zero,
+            cache.self_kv_scale if quantized_self else zero,
         ),
         (params["decoder"]["blocks"], cache.cross_k, cache.cross_v, ksc, vsc, layer_idx),
     )
     logits = _logits(dec, x[:, 0], cfg, compute)
     cache = cache._replace(self_k=sk, self_v=sv)
     if quantized_self:
-        cache = cache._replace(self_k_scale=sksc, self_v_scale=svsc)
+        cache = cache._replace(self_kv_scale=ssc)
     return logits, cache
 
 
@@ -526,7 +536,7 @@ def _decode_step_flash(
         # while the v1 lane-padded form feeds the MXU directly.
         acc, m, lsum = decode_attention_layer(
             q, cache.self_k, cache.self_v, l, pos, h,
-            k_scale4=cache.self_k_scale, v_scale4=cache.self_v_scale,
+            kv_scale4=cache.self_kv_scale,
         )
         a = flash_merge_extra_key(acc, m, lsum, q, k_new, v_new, h).astype(compute.dtype)
         x = x + apply_linear(bp["attn_o"], a, compute)
@@ -560,11 +570,8 @@ def _decode_step_flash(
         ks, ksc = _quantize_tokens(ks)  # [L, B, 1, D] -> int8 + [L, B, 1, 1]
         vs, vsc = _quantize_tokens(vs)
         cache = cache._replace(
-            self_k_scale=jax.lax.dynamic_update_slice(
-                cache.self_k_scale, ksc, (0, 0, pos, 0)
-            ),
-            self_v_scale=jax.lax.dynamic_update_slice(
-                cache.self_v_scale, vsc, (0, 0, pos, 0)
+            self_kv_scale=jax.lax.dynamic_update_slice(
+                cache.self_kv_scale, jnp.concatenate([ksc, vsc], axis=-1), (0, 0, pos, 0)
             ),
         )
     sk = jax.lax.dynamic_update_slice(

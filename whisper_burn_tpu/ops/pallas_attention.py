@@ -44,63 +44,73 @@ NEG_BIG = -1e30
 H_PAD = 128  # lane width for the per-head m/l state
 
 
-def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest, scale, kt, scaled):
+def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest, scale, kt, scaled, g):
     """``scaled=True``: K/V blocks are int8 with per-token absmax scales in
-    two extra ``[kt, 1]`` f32 operands — the K scale multiplies the scores
-    row-wise (before softmax), the V scale weights each key's softmax mass
-    in the value sum (the normalizer ``l`` stays unscaled)."""
+    an extra ``[kt, 2]`` f32 operand (K scale in lane 0, V scale in lane 1)
+    — the K scale multiplies the scores row-wise (before softmax), the V
+    scale weights each key's softmax mass in the value sum (the normalizer
+    ``l`` stays unscaled).
+
+    ``g``: number of query streams handled per grid step. Each grid step
+    along the batch axis covers ``g`` consecutive streams with ONE DMA per
+    operand — amortizing the per-grid-step fixed cost (DMA descriptors,
+    control) that dominates at decode shapes (measured ~1us/step at B=128,
+    3.3x the pure-bandwidth cost of the int8 tile itself)."""
     if scaled:
-        ksc_ref, vsc_ref, acc_ref, m_ref, l_ref = rest
+        sc_ref, acc_ref, m_ref, l_ref = rest
     else:
         acc_ref, m_ref, l_ref = rest
     t_step = pl.program_id(1)
 
     @pl.when(t_step == 0)
     def _():
-        acc_ref[0] = jnp.zeros_like(acc_ref[0])
-        m_ref[0] = jnp.full_like(m_ref[0], NEG_BIG)
-        l_ref[0] = jnp.zeros_like(l_ref[0])
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_BIG)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
     valid = scalar_ref[1]
-    qmat = qmat_ref[0]  # [D, H_PAD]
     emat = emat_ref[:]  # [H_PAD, D]
-    # int8 caches convert to the compute dtype in VMEM (per-channel scales
-    # are folded into q / the output by the caller)
-    k = k_ref[0, 0].astype(qmat.dtype)  # [kt, D]
-    v = v_ref[0, 0].astype(qmat.dtype)
 
     j = jax.lax.broadcasted_iota(jnp.int32, (kt, 1), 0) + t_step * kt
     in_range = j < valid  # [kt, 1]
 
-    # scores for all heads in one MXU op; padded head columns carry zeros
-    # in qmat, their m/l state is garbage but sliced away by the wrapper.
-    s = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # [kt, Hp]
-    if scaled:
-        s = s * ksc_ref[0, 0]  # [kt, 1] per-token K dequant scale
-    s = jnp.where(in_range, s, NEG_BIG)
+    for i in range(g):
+        qmat = qmat_ref[i]  # [D, H_PAD]
+        # int8 caches convert to the compute dtype in VMEM (per-channel
+        # scales are folded into q / the output by the caller)
+        k = k_ref[0, i].astype(qmat.dtype)  # [kt, D]
+        v = v_ref[0, i].astype(qmat.dtype)
 
-    m_prev = m_ref[0]  # [1, Hp]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
-    p = jnp.where(in_range, jnp.exp(s - m_new), 0.0)  # [kt, Hp] f32
-    alpha = jnp.exp(m_prev - m_new)  # [1, Hp]
+        # scores for all heads in one MXU op; padded head columns carry
+        # zeros in qmat, their m/l state is garbage but sliced away by the
+        # wrapper.
+        s = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # [kt, Hp]
+        if scaled:
+            s = s * sc_ref[0, i, :, 0:1]  # [kt, 1] per-token K dequant scale
+        s = jnp.where(in_range, s, NEG_BIG)
 
-    l_ref[0] = l_ref[0] * alpha + jnp.sum(p, axis=0, keepdims=True)
-    m_ref[0] = m_new
+        m_prev = m_ref[i]  # [1, Hp]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+        p = jnp.where(in_range, jnp.exp(s - m_new), 0.0)  # [kt, Hp] f32
+        alpha = jnp.exp(m_prev - m_new)  # [1, Hp]
 
-    # broadcast per-head weights across each head's dh lanes, then reduce
-    # over the key axis: acc_d += sum_t p[t, head(d)] * v[t, d]
-    if scaled:
-        p = p * vsc_ref[0, 0]  # fold the per-token V dequant scale into p
-    p_full = jnp.dot(p.astype(v.dtype), emat, preferred_element_type=jnp.float32)  # [kt, D]
-    pv = jnp.sum(p_full * v.astype(jnp.float32), axis=0, keepdims=True)  # [1, D]
-    alpha_full = jnp.dot(alpha.astype(v.dtype), emat, preferred_element_type=jnp.float32)
-    acc_ref[0] = acc_ref[0] * alpha_full + pv
+        l_ref[i] = l_ref[i] * alpha + jnp.sum(p, axis=0, keepdims=True)
+        m_ref[i] = m_new
+
+        # broadcast per-head weights across each head's dh lanes, then
+        # reduce over the key axis: acc_d += sum_t p[t, head(d)] * v[t, d]
+        if scaled:
+            p = p * sc_ref[0, i, :, 1:2]  # fold per-token V scale into p
+        p_full = jnp.dot(p.astype(v.dtype), emat, preferred_element_type=jnp.float32)  # [kt, D]
+        pv = jnp.sum(p_full * v.astype(jnp.float32), axis=0, keepdims=True)  # [1, D]
+        alpha_full = jnp.dot(alpha.astype(v.dtype), emat, preferred_element_type=jnp.float32)
+        acc_ref[i] = acc_ref[i] * alpha_full + pv
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_heads", "kt", "batch_groups", "interpret")
+    jax.jit, static_argnames=("n_heads", "kt", "g", "batch_groups", "interpret")
 )
-def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, batch_groups, interpret):
+def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, g, batch_groups, interpret):
     l_dim, _, t, d = k4.shape
     b = q.shape[0]  # stream count; k4 batch = b // batch_groups
     dh = d // n_heads
@@ -114,34 +124,34 @@ def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, batch_groups, in
     emat = dmask.T  # [Hp, D]
 
     kv_spec = pl.BlockSpec(
-        (1, 1, kt, d),
+        (1, g, kt, d),
         lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
         memory_space=pltpu.VMEM,
     )
     sc_spec = pl.BlockSpec(
-        (1, 1, kt, 1),
+        (1, g, kt, 2),
         lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
         memory_space=pltpu.VMEM,
     )
-    grid = (b, t // kt)
+    grid = (b // g, t // kt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # scalars = [layer, valid_len]
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, d, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, d, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H_PAD, d), lambda b, s, sc: (0, 0), memory_space=pltpu.VMEM),
             kv_spec,
             kv_spec,
-            *([sc_spec, sc_spec] if scaled else []),
+            *([sc_spec] if scaled else []),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
     )
     acc, m, l = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, kt=kt, scaled=scaled),
+        functools.partial(_kernel, scale=scale, kt=kt, scaled=scaled, g=g),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
@@ -150,6 +160,7 @@ def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, batch_groups, in
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(scalars, qmat, emat, k4, v4, *scales)
@@ -165,18 +176,17 @@ def decode_attention_layer(
     n_heads: int,
     *,
     batch_groups: int = 1,
-    k_scale4: jnp.ndarray | None = None,  # [L, B, T, 1] f32 per-token scales
-    v_scale4: jnp.ndarray | None = None,
+    kv_scale4: jnp.ndarray | None = None,  # [L, B, T, 2] f32 per-token scales
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None:
     """Attention of one query over layer ``layer`` of a layered KV cache.
 
     ``batch_groups=G > 1`` shares each cache entry among G consecutive
     query streams (beam search: W beams read their utterance's cross cache
-    without duplicating it). ``k_scale4``/``v_scale4`` dequantize an int8
-    cache with per-token absmax scales. Returns ``(acc [B*G,1,D] f32, m,
-    l)`` unnormalized, or None if the shape is unsupported (caller falls
-    back to XLA).
+    without duplicating it). ``kv_scale4`` dequantizes an int8 cache with
+    per-token absmax scales (K scale in lane 0, V scale in lane 1).
+    Returns ``(acc [B*G,1,D] f32, m, l)`` unnormalized, or None if the
+    shape is unsupported (caller falls back to XLA).
     """
     _, kb, t, d = k4.shape
     if d % n_heads != 0 or q.shape != (kb * batch_groups, 1, d) or n_heads > H_PAD:
@@ -184,17 +194,23 @@ def decode_attention_layer(
     kt = _largest_tile(t)
     if kt is None:
         return None
-    if (k_scale4 is None) != (v_scale4 is None):
-        return None
+    b = q.shape[0]
+    g = 1
+    if batch_groups == 1:
+        budget = 8 * 1024 * 1024  # per-operand VMEM block budget
+        for cand in (8, 4, 2):
+            if b % cand == 0 and cand * kt * d * k4.dtype.itemsize <= budget:
+                g = cand
+                break
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     scalars = jnp.stack(
         [jnp.asarray(layer, jnp.int32), jnp.asarray(valid_len, jnp.int32)]
     )
-    scales = () if k_scale4 is None else (k_scale4, v_scale4)
+    scales = () if kv_scale4 is None else (kv_scale4,)
     return _decode_attn_call(
         q, k4, v4, scalars, *scales,
-        n_heads=n_heads, kt=kt, batch_groups=batch_groups, interpret=interpret,
+        n_heads=n_heads, kt=kt, g=g, batch_groups=batch_groups, interpret=interpret,
     )
 
 
@@ -225,7 +241,7 @@ HS = 32  # head-rows padding (sublane grain) for the kT kernel
 _KT_VMEM_LIMIT = 4 * 1024 * 1024  # per-operand block budget, bytes
 
 
-def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_ref, *, scale, packed):
+def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_ref, *, scale, packed, g, t):
     """Single-pass decode attention with transposed keys.
 
     The v1 kernel (:func:`_kernel`) pads H=20 heads to 128 lanes, so both
@@ -235,50 +251,65 @@ def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_r
     ``[32,D]@[D,T]`` and ``[32,T]@[T,D]`` — 4x fewer MXU cycles (745ns vs
     3x971ns measured at bench shapes), leaving the kernel DMA-bound.
 
-    One grid step processes one query stream against its whole key range
-    (no flash tiling — [D,1536] int8 is 2 MB of VMEM), so the softmax is
-    exact in one pass; m/l are still returned for interface parity with v1
-    (the self-attention extra-key merge needs them).
+    One grid step processes ``g`` query streams, each against its whole
+    key range (no flash tiling — [D,1536] int4 is 1 MB of VMEM), so the
+    softmax is exact in one pass; m/l are still returned for interface
+    parity with v1 (the self-attention extra-key merge needs them).
 
-    ``packed=True``: K/V blocks are int4 pairs in uint8 (positions ``j``
-    and ``j+T/2`` share a byte, decoder.pack_int4). Unpacking is two
-    shifts + one lane/sublane concat in VMEM — the HBM read is halved.
+    ``packed=True``: int4 pairs in uint8 (decoder.pack_int4). Keys pack
+    along **D** (stored [D/2, T]), values along **T** (stored [T/2, D]) —
+    chosen so NO unpacked tensor is ever materialized: the scores dot
+    splits the query ``dot(q_lo, k_lo) + dot(q_hi, k_hi)`` (q halves are
+    sublane slices), the value dot splits the probabilities ``dot(p_lo,
+    v_lo) + dot(p_hi, v_hi)`` (p halves are lane slices). The nibble
+    extract is 2 VPU ops per stored byte; the expensive lane/sublane
+    concatenate of the original layout is gone.
     """
     valid = scalar_ref[1]
-    qh = qh_ref[0]  # [HS, D] compute dtype, row h = q masked to head h
-    if packed:
-        kp = kT_ref[0, 0].astype(jnp.int32)  # [D, T/2] biased nibbles
-        k = jnp.concatenate([(kp & 15) - 8, (kp >> 4) - 8], axis=1).astype(qh.dtype)
-    else:
-        k = kT_ref[0, 0].astype(qh.dtype)  # [D, T] (int8 converts on the way in)
-    t = k.shape[1]
+    for i in range(g):
+        qh = qh_ref[i]  # [HS, D] compute dtype, row h = q masked to head h
+        if packed:
+            kp = kT_ref[0, i].astype(jnp.int32)  # [D/2, T] biased nibble pairs
+            d2 = kp.shape[0]
+            k_lo = ((kp & 15) - 8).astype(qh.dtype)
+            k_hi = ((kp >> 4) - 8).astype(qh.dtype)
+            s = jnp.dot(qh[:, :d2], k_lo, preferred_element_type=jnp.float32)
+            s = s + jnp.dot(qh[:, d2:], k_hi, preferred_element_type=jnp.float32)
+            s = s * scale
+        else:
+            k = kT_ref[0, i].astype(qh.dtype)  # [D, T] (int8 converts on the way in)
+            s = jnp.dot(qh, k, preferred_element_type=jnp.float32) * scale
+        in_range = jax.lax.broadcasted_iota(jnp.int32, (HS, t), 1) < valid
+        s = jnp.where(in_range, s, NEG_BIG)
 
-    s = jnp.dot(qh, k, preferred_element_type=jnp.float32) * scale
-    in_range = jax.lax.broadcasted_iota(jnp.int32, (HS, t), 1) < valid
-    s = jnp.where(in_range, s, NEG_BIG)
+        m = jnp.max(s, axis=1, keepdims=True)  # [HS, 1]
+        p = jnp.where(in_range, jnp.exp(s - m), 0.0)
+        l = jnp.sum(p, axis=1, keepdims=True)
 
-    m = jnp.max(s, axis=1, keepdims=True)  # [HS, 1]
-    p = jnp.where(in_range, jnp.exp(s - m), 0.0)
-    l = jnp.sum(p, axis=1, keepdims=True)
-
-    if packed:
-        vp = v_ref[0, 0].astype(jnp.int32)  # [T/2, D]
-        v = jnp.concatenate([(vp & 15) - 8, (vp >> 4) - 8], axis=0).astype(qh.dtype)
-    else:
-        v = v_ref[0, 0].astype(qh.dtype)  # [T, D]
-    pv = jnp.dot(p.astype(qh.dtype), v, preferred_element_type=jnp.float32)  # [HS, D]
-    # collapse head rows: out[d] = pv[head(d), d]
-    acc_ref[0] = jnp.sum(pv * hmask_ref[:], axis=0, keepdims=True)  # [1, D]
-    m_ref[0] = m
-    l_ref[0] = l
+        pc = p.astype(qh.dtype)
+        if packed:
+            vp = v_ref[0, i].astype(jnp.int32)  # [T/2, D] biased nibble pairs
+            t2 = vp.shape[0]
+            v_lo = ((vp & 15) - 8).astype(qh.dtype)
+            v_hi = ((vp >> 4) - 8).astype(qh.dtype)
+            pv = jnp.dot(pc[:, :t2], v_lo, preferred_element_type=jnp.float32)
+            pv = pv + jnp.dot(pc[:, t2:], v_hi, preferred_element_type=jnp.float32)
+        else:
+            v = v_ref[0, i].astype(qh.dtype)  # [T, D]
+            pv = jnp.dot(pc, v, preferred_element_type=jnp.float32)  # [HS, D]
+        # collapse head rows: out[d] = pv[head(d), d]
+        acc_ref[i] = jnp.sum(pv * hmask_ref[:], axis=0, keepdims=True)  # [1, D]
+        m_ref[i] = m
+        l_ref[i] = l
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_heads", "batch_groups", "interpret")
+    jax.jit, static_argnames=("n_heads", "g", "batch_groups", "interpret")
 )
-def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, batch_groups, interpret):
-    l_dim, _, d, ts = kT4.shape  # ts = stored length (T/2 when packed)
+def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, g, batch_groups, interpret):
+    l_dim, _, ds, t = kT4.shape  # ds = stored channel count (D/2 when packed)
     packed = kT4.dtype == jnp.uint8
+    d = ds * 2 if packed else ds
     b = q.shape[0]
     dh = d // n_heads
     scale = 1.0 / np.sqrt(dh)
@@ -288,31 +319,32 @@ def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, batch_groups, interpret):
     hmask_f = jnp.asarray(hmask, jnp.float32)
     qh = q.reshape(b, 1, d) * jnp.asarray(hmask, q.dtype)[None]  # [B, HS, D]
 
+    ts = t // 2 if packed else t  # stored key positions in the V array
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # scalars = [layer, valid_len]
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, HS, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, HS, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((HS, d), lambda b, sc: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, d, ts),
+                (1, g, ds, t),
                 lambda b, sc: (sc[0], b // batch_groups, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, ts, d),
+                (1, g, ts, d),
                 lambda b, sc: (sc[0], b // batch_groups, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HS, 1), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, HS, 1), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, HS, 1), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, HS, 1), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
     )
     acc, m, l = pl.pallas_call(
-        functools.partial(_kt_kernel, scale=scale, packed=packed),
+        functools.partial(_kt_kernel, scale=scale, packed=packed, g=g, t=t),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
@@ -321,6 +353,8 @@ def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, batch_groups, interpret):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # g-stream blocks exceed the default 16 MB scoped-vmem budget
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(scalars, qh, hmask_f, kT4, v4)
@@ -357,17 +391,27 @@ def decode_attention_kT(
     the *cross* cache uses (it is written once per utterance; a per-step
     transposed self-cache write would be a lane-dimension scatter).
 
-    uint8 caches are int4 pairs packed along T (stored length T/2,
-    decoder.pack_int4); the kernel unpacks them in VMEM.
+    uint8 caches are int4 pairs (decoder.pack_int4): keys packed along D
+    (stored [L, B, D/2, T]), values along T (stored [L, B, T/2, D]); the
+    kernel consumes both halves with split dots — nothing is concatenated.
     """
-    l_dim, kb, d, ts = kT4.shape
+    l_dim, kb, ds, t = kT4.shape
     packed = kT4.dtype == jnp.uint8
-    t = ts * 2 if packed else ts  # logical key count (for valid_len masking)
+    d = ds * 2 if packed else ds
+    ts = t // 2 if packed else t
     if v4.shape != (l_dim, kb, ts, d) or q.shape != (kb * batch_groups, 1, d):
         return None
     itemsize = 0.5 if packed else kT4.dtype.itemsize
     if not kt_kernel_supported(t, d, n_heads, itemsize):
         return None
+    b = q.shape[0]
+    g = 1
+    if batch_groups == 1:
+        budget = 16 * 1024 * 1024  # combined K+V block budget per grid step
+        for cand in (4, 2):
+            if b % cand == 0 and cand * 2 * ds * t * kT4.dtype.itemsize <= budget:
+                g = cand
+                break
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     scalars = jnp.stack(
@@ -375,7 +419,7 @@ def decode_attention_kT(
     )
     return _kt_attn_call(
         q, kT4, v4, scalars,
-        n_heads=n_heads, batch_groups=batch_groups, interpret=interpret,
+        n_heads=n_heads, g=g, batch_groups=batch_groups, interpret=interpret,
     )
 
 

@@ -4,18 +4,25 @@ The encoder's T=1500 non-causal attention doesn't need flash tiling on a
 TPU at Whisper sizes: one head's whole score matrix ([1536, 1536] f32 =
 9.4 MB) fits comfortably in VMEM, so the streaming running-max/sum
 recurrence — and the bookkeeping VPU work that made the stock flash
-kernel ~21 us per (batch, head) — can be dropped entirely. One grid step
-computes one (batch, head) pair in one pass:
+kernel ~21 us per (batch, head) — can be dropped entirely.
+
+MXU shape choices (the reason this beats both stock flash and a naive
+single-pass kernel):
 
 * scores via a direct NT ``dot_general`` contracting both minor dims
-  (``[T,dh] x [T,dh]^T``) — measured *faster* (1.8 us at T=1536, dh=64)
-  than pre-transposing K for the NN form (2.9 us), and it removes the
-  K-transpose entirely;
-* exact softmax (one max, one exp, one sum over the resident block);
-* one ``[T,T]@[T,dh]`` value contraction.
+  (``[T,dh] x [T,dh]^T``) — measured *faster* than pre-transposing K for
+  the NN form, and it removes the K-transpose entirely;
+* the value contraction runs TRANSPOSED: ``z = vT [dh,T] x p^T`` via an
+  NT dot contracting the full key axis — M=dh, K=T, N=T uses the MXU at
+  full contraction depth and full lane width, where the natural
+  ``p [T,T] @ v [T,dh]`` form wastes half the array on N=dh=64;
+* exact softmax, normalized on the ``[dh, T]`` output (T*dh divides, not
+  T*T);
+* two heads per grid step amortize per-step fixed costs.
 
-Measured ~8 us per (batch, head) vs ~21 us for the stock kernel wrapped
-by flash_prefill.py, which this replaces for T <= _MAX_T.
+V is fed pre-transposed ``[B, H, dh, T]`` and the output leaves the same
+way; both transposes happen once per layer in XLA (~1 GB of traffic each,
+noise next to the ~23 GB/layer the resident-score design removes).
 
 The reference materializes encoder scores in GPU RAM and softmaxes them
 in a separate pass (src/model/attention.rs:243-298); SURVEY §2.3 calls
@@ -35,45 +42,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_BIG = -1e30
 _MAX_T = 2048  # f32 score block = T^2 * 4 bytes; 2048 -> 16 MB of VMEM
+_HEADS_PER_STEP = 2
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, valid, t):
-    q = q_ref[0, 0]  # [T, dh]
-    k = k_ref[0, 0]
-    s = (
-        jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        * scale
-    )  # [T, T]
-    if valid < t:  # static: pad keys only exist when T was rounded up
-        j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(j < valid, s, NEG_BIG)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    pv = jnp.dot(
-        (p / l).astype(v_ref.dtype), v_ref[0, 0], preferred_element_type=jnp.float32
-    )
-    o_ref[0, 0] = pv.astype(o_ref.dtype)
+def _kernel(q_ref, k_ref, vT_ref, o_ref, *, scale, valid, t, hs):
+    for i in range(hs):
+        q = q_ref[0, i]  # [T, dh]
+        k = k_ref[0, i]
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # [T, T]
+        if valid < t:  # static: pad keys only exist when T was rounded up
+            j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(j < valid, s, NEG_BIG)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)  # [T, 1]
+        # z[d, tq] = sum_tk vT[d, tk] * p[tq, tk] — NT dot, full MXU depth
+        z = jax.lax.dot_general(
+            vT_ref[0, i],
+            p.astype(vT_ref.dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [dh, T]
+        lT = jnp.transpose(l, (1, 0))  # [1, T] (skinny relayout)
+        o_ref[0, i] = (z / lT).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "valid", "interpret"))
-def _attn_call(q, k, v, *, n_heads, valid, interpret):
+def _attn_call(q, k, vT, *, n_heads, valid, interpret):
     b, h, t, dh = q.shape
     scale = 1.0 / np.sqrt(dh)
-    spec = pl.BlockSpec((1, 1, t, dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    hs = _HEADS_PER_STEP if h % _HEADS_PER_STEP == 0 else 1
+    spec = pl.BlockSpec((1, hs, t, dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    spec_t = pl.BlockSpec((1, hs, dh, t), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, valid=valid, t=t),
-        grid=(b, h),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, t, dh), q.dtype),
+        functools.partial(_kernel, scale=scale, valid=valid, t=t, hs=hs),
+        grid=(b, h // hs),
+        in_specs=[spec, spec, spec_t],
+        out_specs=spec_t,
+        out_shape=jax.ShapeDtypeStruct((b, h, dh, t), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(q, k, vT)
 
 
 def supported(t: int, d: int, n_heads: int) -> bool:
@@ -106,8 +123,13 @@ def encoder_attention(
         x = x.reshape(b, t, n_heads, dh).transpose(0, 2, 1, 3)
         return jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0))) if tp != t else x
 
-    out = _attn_call(
-        to_heads(q), to_heads(k), to_heads(v),
+    vT = jnp.pad(
+        v.reshape(b, t, n_heads, dh).transpose(0, 2, 3, 1),
+        ((0, 0), (0, 0), (0, 0), (0, tp - t)),
+    ) if tp != t else v.reshape(b, t, n_heads, dh).transpose(0, 2, 3, 1)
+
+    oT = _attn_call(
+        to_heads(q), to_heads(k), vT,
         n_heads=n_heads, valid=t, interpret=interpret,
-    )
-    return out[:, :, :t].transpose(0, 2, 1, 3).reshape(b, t, d)
+    )  # [B, H, dh, T]
+    return oT[..., :t].transpose(0, 3, 1, 2).reshape(b, t, d)
