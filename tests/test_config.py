@@ -42,13 +42,25 @@ def test_large_v3_turbo_preset():
 
 
 def test_language_table():
-    assert len(ALL_LANGUAGES) == 100  # Auto + 99 languages
+    assert len(ALL_LANGUAGES) == 101  # Auto + 99 reference languages + yue
     assert ALL_LANGUAGES[0].code is None
     assert lang_token_id("en") == 50259
-    assert lang_token_id("su") == 50357  # last entry
+    assert lang_token_id("su") == 50357  # last reference entry
     assert language_from_code("fr").token_id == 50265
     assert language_from_code("nonsense").code is None  # falls back to Auto
     assert language_from_code(None).code is None
     # token ids are contiguous and unique
     ids = [l.token_id for l in ALL_LANGUAGES[1:]]
-    assert ids == list(range(50259, 50358))
+    assert ids == list(range(50259, 50359))
+
+
+def test_cantonese_n_lang_gate():
+    """Large-V3's 100th language is reachable; Medium rejects it cleanly
+    (VERDICT r1 item 7; reference anchor src/model/config.rs:78-80)."""
+    import pytest
+
+    assert lang_token_id("yue") == 50358
+    assert lang_token_id("yue", n_lang=100) == 50358
+    with pytest.raises(ValueError):
+        lang_token_id("yue", n_lang=99)  # Medium has no Cantonese token
+    assert lang_token_id("su", n_lang=99) == 50357  # boundary still in range

@@ -1,11 +1,11 @@
-"""Whisper language table: 99 languages + Auto.
+"""Whisper language table: 100 languages + Auto.
 
-Same data as the reference's static table (src/lib.rs:31-165): each language
-carries its Whisper language-token id. Token ids 50259.. follow the order of
-OpenAI Whisper's language list; Large-V3 adds a 100th language (Cantonese,
-"yue") immediately after the table below — handled via ``n_lang`` in
-:class:`whisper_burn_tpu.models.config.WhisperConfig`, which shifts
-TRANSCRIBE/NO_TIMESTAMPS ids (src/model/config.rs:66-80).
+Same data as the reference's static table (src/lib.rs:31-165) — 99 entries
+with Whisper language-token ids 50259..50357 in OpenAI list order — plus
+Large-V3's 100th language (Cantonese, "yue", token 50358), which the
+reference omits. Availability is gated per model by ``n_lang``
+(:class:`whisper_burn_tpu.models.config.WhisperConfig`), which also shifts
+the TRANSCRIBE/NO_TIMESTAMPS ids (src/model/config.rs:66-80).
 """
 
 from __future__ import annotations
@@ -123,6 +123,9 @@ _TABLE: list[tuple[str | None, str, int]] = [
     ("ba", "Bashkir", 50355),
     ("jw", "Javanese", 50356),
     ("su", "Sundanese", 50357),
+    # Large-V3's 100th language (n_lang=100); models with n_lang=99 (Medium)
+    # reject it via the n_lang gate in lang_token_id.
+    ("yue", "Cantonese", 50358),
 ]
 
 ALL_LANGUAGES: tuple[Language, ...] = tuple(Language(*row) for row in _TABLE)
@@ -138,9 +141,20 @@ def language_from_code(code: str | None) -> Language:
     return _BY_CODE.get(code, ALL_LANGUAGES[0])
 
 
-def lang_token_id(code: str) -> int:
-    """Token id for an explicit language code; raises on unknown code."""
+def lang_token_id(code: str, n_lang: int | None = None) -> int:
+    """Token id for an explicit language code; raises on unknown code.
+
+    ``n_lang`` (the model's language count, src/model/config.rs:78-80)
+    rejects languages the model doesn't have — e.g. Cantonese ("yue",
+    token 50358) exists only on n_lang=100 models (Large-V3), so Medium
+    (n_lang=99) raises instead of emitting an out-of-range token.
+    """
     lang = _BY_CODE.get(code)
     if lang is None:
         raise KeyError(f"unknown Whisper language code {code!r}")
+    if n_lang is not None and lang.token_id >= 50259 + n_lang:
+        raise ValueError(
+            f"language {code!r} (token {lang.token_id}) is outside this "
+            f"model's {n_lang}-language range [50259, {50259 + n_lang})"
+        )
     return lang.token_id

@@ -254,4 +254,4 @@ class WhisperPipeline:
     def _lang_token(self, language: str | None) -> int:
         if language is None or language == "auto":
             return -1
-        return lang_token_id(language)
+        return lang_token_id(language, n_lang=self.config.n_lang)
