@@ -37,7 +37,14 @@ from whisper_burn_tpu.models.attention import (
 from whisper_burn_tpu.models.config import WhisperConfig
 from whisper_burn_tpu.models.layers import gelu, layer_norm
 from whisper_burn_tpu.models.params import Params
-from whisper_burn_tpu.ops import Compute, apply_ffn, apply_linear, cross_kv_proj, qkv_proj
+from whisper_burn_tpu.ops import (
+    Compute,
+    apply_ffn,
+    apply_linear,
+    apply_reduce_linear,
+    cross_kv_proj,
+    qkv_proj,
+)
 
 
 class KVCache(NamedTuple):
@@ -73,8 +80,9 @@ def init_cache(
     """``ctx`` right-sizes the self cache (prompt + max generated tokens);
     the reference always holds the full 448 (src/model/config.rs:17) but a
     224-token greedy run only ever touches 228 slots — a free ~2x on
-    self-attention cache bandwidth."""
-    l, d = cfg.n_text_layer, cfg.n_text_state
+    self-attention cache bandwidth. Under tensor parallelism the cache is
+    head-sharded: per-shard width D // tp."""
+    l, d = cfg.n_text_layer, cfg.n_text_state // compute.tp
     ctx = cfg.n_text_ctx if ctx is None else ctx
     cross_t = cross_cache_len(cfg, compute)
     z = lambda t, dt: jnp.zeros((l, batch, t, d), dt)
@@ -123,7 +131,10 @@ def cross_kt_layout(cfg: WhisperConfig, compute: Compute) -> bool:
     # packed int4 halves the stored bytes per logical key position
     itemsize = 0.5 if compute.kv_packed else jnp.dtype(compute.cross_kv_dtype).itemsize
     return kt_kernel_supported(
-        cross_cache_len(cfg, compute), cfg.n_text_state, cfg.n_text_head, itemsize
+        cross_cache_len(cfg, compute),
+        cfg.n_text_state // compute.tp,
+        cfg.n_text_head // compute.tp,
+        itemsize,
     )
 
 
@@ -321,6 +332,7 @@ def prefill(
     """
     dec = params["decoder"]
     b, t = tokens.shape
+    n_heads = cfg.n_text_head // compute.tp  # per-shard heads under TP
     x = _embed(dec, tokens, jnp.arange(pos_offset, pos_offset + t), compute)
     mask = causal_mask(t, t)
     cross_t = cross_cache_len(cfg, compute)  # logical length (packed stores T/2)
@@ -340,17 +352,17 @@ def prefill(
         bp, ck, cv, ks_l, vs_l = xs
         h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
         q, k, v = qkv_proj(bp, h, compute)
-        a = attention(q, k, v, cfg.n_text_head, mask=mask, compute=compute)
-        x = x + apply_linear(bp["attn_o"], a, compute)
+        a = attention(q, k, v, n_heads, mask=mask, compute=compute)
+        x = x + apply_reduce_linear(bp["attn_o"], a, compute)
 
         if quantized_cross:
             ck = _dequant_layer(ck, ks_l, compute.dtype, transposed=transposed)
             cv = _dequant_layer(cv, vs_l, compute.dtype)
         h = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
         a = _cross_attn(
-            bp, h, ck, cv, cfg.n_text_head, compute, cross_mask, transposed=transposed
+            bp, h, ck, cv, n_heads, compute, cross_mask, transposed=transposed
         )
-        x = x + apply_linear(bp["xattn_o"], a, compute)
+        x = x + apply_reduce_linear(bp["xattn_o"], a, compute)
 
         h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
         x = x + apply_ffn(bp, h, cfg.gelu, compute)
@@ -396,6 +408,7 @@ def decode_step(
     """
     dec = params["decoder"]
     b = token.shape[0]
+    n_heads = cfg.n_text_head // compute.tp  # per-shard heads under TP
     x = _embed(dec, token[:, None], pos[None], compute)  # [B, 1, D]
 
     if _flash_supported(cfg, cache, compute):
@@ -447,17 +460,17 @@ def decode_step(
             sc_full = sc_full.astype(compute.dtype)  # [B, ctx, 2]
             k_full = k_full.astype(compute.dtype) * sc_full[..., 0:1]
             v_full = v_full.astype(compute.dtype) * sc_full[..., 1:2]
-        a = attention(q, k_full, v_full, cfg.n_text_head, mask=mask, compute=compute)
-        x = x + apply_linear(bp["attn_o"], a, compute)
+        a = attention(q, k_full, v_full, n_heads, mask=mask, compute=compute)
+        x = x + apply_reduce_linear(bp["attn_o"], a, compute)
 
         if quantized_cross:
             ck = _dequant_layer(ck, ks_l, compute.dtype, transposed=transposed)
             cv = _dequant_layer(cv, vs_l, compute.dtype)
         h = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
         a = _cross_attn(
-            bp, h, ck, cv, cfg.n_text_head, compute, cross_mask, transposed=transposed
+            bp, h, ck, cv, n_heads, compute, cross_mask, transposed=transposed
         )
-        x = x + apply_linear(bp["xattn_o"], a, compute)
+        x = x + apply_reduce_linear(bp["xattn_o"], a, compute)
 
         h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
         x = x + apply_ffn(bp, h, cfg.gelu, compute)
@@ -487,7 +500,9 @@ def _flash_supported(cfg: WhisperConfig, cache: KVCache, compute: Compute) -> bo
 
     if not compute.use_pallas:
         return False
-    if cfg.n_text_head > H_PAD or cfg.n_text_state % cfg.n_text_head != 0:
+    h_loc = cfg.n_text_head // compute.tp
+    d_loc = cfg.n_text_state // compute.tp
+    if h_loc > H_PAD or h_loc == 0 or d_loc % h_loc != 0:
         return False
     if _largest_tile(cache.self_k.shape[2]) is None:
         return False
@@ -519,7 +534,7 @@ def _decode_step_flash(
     )
 
     dec = params["decoder"]
-    h = cfg.n_text_head
+    h = cfg.n_text_head // compute.tp  # per-shard heads under TP
     t_enc = jnp.asarray(cfg.n_audio_ctx, jnp.int32)  # padded tail is masked
     layer_idx = jnp.arange(cfg.n_text_layer)
     quantized_cross = cache.cross_k_scale is not None
@@ -539,7 +554,7 @@ def _decode_step_flash(
             kv_scale4=cache.self_kv_scale,
         )
         a = flash_merge_extra_key(acc, m, lsum, q, k_new, v_new, h).astype(compute.dtype)
-        x = x + apply_linear(bp["attn_o"], a, compute)
+        x = x + apply_reduce_linear(bp["attn_o"], a, compute)
 
         hdn = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
         qx = apply_linear(bp["xattn_q"], hdn, compute)
@@ -557,7 +572,7 @@ def _decode_step_flash(
         if quantized_cross:
             acc = acc * vs_l.astype(acc.dtype)[None, None, :]
         a = normalize(acc, lsum, h).astype(compute.dtype)
-        x = x + apply_linear(bp["xattn_o"], a, compute)
+        x = x + apply_reduce_linear(bp["xattn_o"], a, compute)
 
         hdn = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
         x = x + apply_ffn(bp, hdn, cfg.gelu, compute)

@@ -20,20 +20,26 @@ from whisper_burn_tpu.models.attention import attention
 from whisper_burn_tpu.models.config import WhisperConfig
 from whisper_burn_tpu.models.layers import conv1d, gelu, layer_norm
 from whisper_burn_tpu.models.params import Params
-from whisper_burn_tpu.ops import Compute, apply_ffn, apply_linear, qkv_proj
+from whisper_burn_tpu.ops import Compute, apply_ffn, apply_reduce_linear, qkv_proj
 from whisper_burn_tpu.ops.flash_prefill import prefill_attention
 
 
 def encoder_block(x: jnp.ndarray, bp: Params, cfg: WhisperConfig, compute: Compute) -> jnp.ndarray:
-    """One pre-norm encoder block (src/model/encoder.rs:37-49)."""
+    """One pre-norm encoder block (src/model/encoder.rs:37-49).
+
+    Under tensor parallelism (``compute.tp > 1``, shard_map body) q/k/v are
+    head-sharded — the local head count is ``n_audio_head // tp`` and the
+    output projection carries the cross-shard psum (apply_reduce_linear).
+    """
+    n_heads = cfg.n_audio_head // compute.tp
     h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
     q, k, v = qkv_proj(bp, h, compute)
     a = None
     if compute.use_pallas:
-        a = prefill_attention(q, k, v, cfg.n_audio_head, compute, interpret=False)
+        a = prefill_attention(q, k, v, n_heads, compute, interpret=False)
     if a is None:
-        a = attention(q, k, v, cfg.n_audio_head, mask=None, compute=compute)
-    x = x + apply_linear(bp["attn_o"], a, compute)
+        a = attention(q, k, v, n_heads, mask=None, compute=compute)
+    x = x + apply_reduce_linear(bp["attn_o"], a, compute)
 
     h = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
     return x + apply_ffn(bp, h, cfg.gelu, compute)

@@ -156,17 +156,41 @@ def count_params(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 
 
-def _fuse_linears(linears: list[Params]) -> Params:
+def _interleave_n(arrs: list[np.ndarray], tp: int) -> np.ndarray:
+    """Concatenate ``[..., N]`` arrays along N, interleaved at ``tp``-shard
+    granularity: output = [a0_s0 | a1_s0 | ... | a0_s1 | a1_s1 | ...] where
+    ``ai_sj`` is array i's j-th N-shard. With tp=1 this is a plain concat.
+
+    This makes fusing commute with Megatron column sharding: an equal split
+    of the fused N axis into tp shards gives each shard exactly its own
+    [q_shard | k_shard | v_shard] slab, so the local thirds split in
+    ops/linear.qkv_proj stays correct inside shard_map bodies.
+    """
+    if tp == 1:
+        return np.concatenate(arrs, axis=-1)
+    parts = []
+    for s in range(tp):
+        for a in arrs:
+            n = a.shape[-1]
+            assert n % tp == 0, f"fused N axis {n} not divisible by tp={tp}"
+            parts.append(a[..., s * n // tp : (s + 1) * n // tp])
+    return np.concatenate(parts, axis=-1)
+
+
+def _fuse_linears(linears: list[Params], tp: int = 1) -> Params:
     """Concatenate linears sharing an input along the output-feature axis.
 
     Works on stacked ``[L, K, N]`` leaves. Missing biases (Whisper's key
-    projections) become zeros so the fused bias-add is exact.
+    projections) become zeros so the fused bias-add is exact. ``tp`` > 1
+    builds the shard-interleaved layout (see :func:`_interleave_n`).
     """
     quantized = "qw" in linears[0]
     key = "qw" if quantized else "w"
-    fused: Params = {key: np.concatenate([p[key] for p in linears], axis=-1)}
+    fused: Params = {key: _interleave_n([np.asarray(p[key]) for p in linears], tp)}
     if quantized:
-        fused["scales"] = np.concatenate([p["scales"] for p in linears], axis=-1)
+        fused["scales"] = _interleave_n(
+            [np.asarray(p["scales"]) for p in linears], tp
+        )
     n_axis = [p[key].shape[-1] for p in linears]
     if any("b" in p for p in linears):
         biases = []
@@ -176,30 +200,35 @@ def _fuse_linears(linears: list[Params]) -> Params:
             else:
                 shape = p[key].shape[:-2] + (n,)  # [L?, N]
                 biases.append(np.zeros(shape, np.float32))
-        fused["b"] = np.concatenate(biases, axis=-1)
+        fused["b"] = _interleave_n(biases, tp)
     return fused
 
 
-def fuse_attention_params(params: Params) -> Params:
+def fuse_attention_params(params: Params, tp: int = 1) -> Params:
     """Fuse q/k/v (and cross k/v) projections into single wide matmuls.
 
     On this hardware a matmul has a large fixed cost at Whisper's N=1280
     (~4 ms regardless of N up to 5120), so one [K, 3D] projection runs ~3x
     faster than three [K, D] ones. The model code dispatches on the fused
-    key names (``attn_qkv``, ``xattn_kv``). Not applied in tensor-parallel
-    mode: the fused N axis would shard across the q/k/v boundary.
+    key names (``attn_qkv``, ``xattn_kv``).
+
+    ``tp``: tensor-parallel degree. With tp > 1 the fused N axis is built
+    shard-interleaved so an equal model-axis split lands each shard its own
+    contiguous [q|k|v] slab — REQUIRED for (and only meaningful with) the
+    shard_map path in parallel/sharded.py; such params are wrong to use
+    unsharded.
     """
     out = {k: v for k, v in params.items()}
 
     def fuse_blocks(blocks: Params, cross: bool) -> Params:
         nb = {k: v for k, v in blocks.items()}
         nb["attn_qkv"] = _fuse_linears(
-            [blocks["attn_q"], blocks["attn_k"], blocks["attn_v"]]
+            [blocks["attn_q"], blocks["attn_k"], blocks["attn_v"]], tp
         )
         for k in ("attn_q", "attn_k", "attn_v"):
             del nb[k]
         if cross:
-            nb["xattn_kv"] = _fuse_linears([blocks["xattn_k"], blocks["xattn_v"]])
+            nb["xattn_kv"] = _fuse_linears([blocks["xattn_k"], blocks["xattn_v"]], tp)
             del nb["xattn_k"], nb["xattn_v"]
         return nb
 

@@ -42,6 +42,13 @@ class Compute:
     # inside the decode kernel — unlike the cross cache, self K/V arrive one
     # token at a time, so per-channel scales can't be fixed up front.
     self_kv_dtype: jnp.dtype | None = None
+    # Tensor-parallel context for shard_map bodies (parallel/sharded.py):
+    # ``tp`` = model-axis size (per-shard head count = n_heads // tp, KV
+    # cache width = D // tp), ``tp_axis`` = mesh axis name psum'd after the
+    # row-parallel (output) projections. tp=1/None means single-shard
+    # semantics — the default everywhere outside shard_map.
+    tp: int = 1
+    tp_axis: str | None = None
 
     @classmethod
     def parity(cls) -> "Compute":

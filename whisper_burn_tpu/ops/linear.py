@@ -8,26 +8,54 @@ A linear's params are a plain dict (pytree-friendly for pjit sharding):
 Equivalent of the reference's ``Q4Linear::forward`` (src/gguf/linear.rs:
 34-40): ``y = x @ W^T (+ b)`` — note our storage is already transposed to
 ``[K, N]`` so no transpose happens at apply time.
+
+Tensor parallelism (Megatron layout, parallel/sharding.py): column-parallel
+linears (q/k/v/fc1) need no communication; **row-parallel** ones (attn_o /
+xattn_o / fc2) hold a K-shard each, so their matmul yields a partial sum
+that must be ``psum``'d over the model axis *before* the bias add. Inside a
+``shard_map`` body (``compute.tp_axis`` set) :func:`apply_reduce_linear`
+does exactly that; under GSPMD jit (or single-device) it degenerates to
+:func:`apply_linear`.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from whisper_burn_tpu.ops.compute import Compute
 from whisper_burn_tpu.ops.q4_matmul import q4_matmul
 
 
-def apply_linear(params: dict, x: jnp.ndarray, compute: Compute) -> jnp.ndarray:
+def _matmul(params: dict, x: jnp.ndarray, compute: Compute) -> jnp.ndarray:
     if "qw" in params:
-        y = q4_matmul(x, params["qw"], params["scales"], compute)
-    else:
-        y = jnp.matmul(
-            x.astype(compute.dtype),
-            params["w"].astype(compute.dtype),
-            precision=compute.precision,
-            preferred_element_type=jnp.float32,
-        ).astype(compute.dtype)
+        return q4_matmul(x, params["qw"], params["scales"], compute)
+    return jnp.matmul(
+        x.astype(compute.dtype),
+        params["w"].astype(compute.dtype),
+        precision=compute.precision,
+        preferred_element_type=jnp.float32,
+    ).astype(compute.dtype)
+
+
+def apply_linear(params: dict, x: jnp.ndarray, compute: Compute) -> jnp.ndarray:
+    y = _matmul(params, x, compute)
+    b = params.get("b")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def apply_reduce_linear(params: dict, x: jnp.ndarray, compute: Compute) -> jnp.ndarray:
+    """Row-parallel-aware linear: matmul -> psum over the tp axis -> + bias.
+
+    The bias is added exactly once, *after* the cross-shard reduction (the
+    K-sharded matmul contributes a partial sum per shard; its bias is
+    replicated, matching parallel/sharding.py's ``_ROW_PARALLEL`` spec).
+    """
+    y = _matmul(params, x, compute)
+    if compute.tp_axis is not None:
+        y = jax.lax.psum(y, compute.tp_axis)
     b = params.get("b")
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -36,7 +64,13 @@ def apply_linear(params: dict, x: jnp.ndarray, compute: Compute) -> jnp.ndarray:
 
 def qkv_proj(bp: dict, x: jnp.ndarray, compute: Compute):
     """Self-attention q/k/v — served by one fused [K, 3D] matmul when the
-    params carry ``attn_qkv`` (see models/params.fuse_attention_params)."""
+    params carry ``attn_qkv`` (see models/params.fuse_attention_params).
+
+    Under tensor parallelism the fused layout is built shard-interleaved
+    (``fuse_attention_params(tp=...)``) so each model shard's local fused
+    slice is exactly ``[q_shard | k_shard | v_shard]`` — the thirds split
+    below is then correct on local (shard_map) views too.
+    """
     if "attn_qkv" in bp:
         y = apply_linear(bp["attn_qkv"], x, compute)
         d = y.shape[-1] // 3
@@ -66,13 +100,25 @@ def apply_ffn(bp: dict, x: jnp.ndarray, gelu_kind: str, compute: Compute) -> jnp
     Large-M activations (encoder, batched prefill) take the unfused XLA
     path for the same reason as q4_matmul's LARGE_M dispatch: at those
     shapes the MXU time dwarfs the dequant materialization and XLA's
-    matmul pipeline outruns the fused kernel."""
+    matmul pipeline outruns the fused kernel.
+
+    Under tensor parallelism fc1 is column-parallel (local F/tp hidden) and
+    fc2 row-parallel: the fused kernel runs on the local F-shard with fc2's
+    bias zeroed, then the output is psum'd and the bias added once.
+    """
     from whisper_burn_tpu.ops.pallas_ffn import _gelu, fused_ffn_pallas
     from whisper_burn_tpu.ops.q4_matmul import LARGE_M, _rows
 
     if compute.use_pallas and _rows(x) < LARGE_M:
-        y = fused_ffn_pallas(x, bp["fc1"], bp["fc2"], gelu_kind, compute)
+        fc2 = bp["fc2"]
+        tp_bias = compute.tp_axis is not None and "b" in fc2
+        fc2_in = {**fc2, "b": jnp.zeros_like(fc2["b"])} if tp_bias else fc2
+        y = fused_ffn_pallas(x, bp["fc1"], fc2_in, gelu_kind, compute)
         if y is not None:
+            if compute.tp_axis is not None:
+                y = jax.lax.psum(y, compute.tp_axis)
+            if tp_bias:
+                y = y + fc2["b"].astype(y.dtype)
             return y
     h = _gelu(apply_linear(bp["fc1"], x, compute), gelu_kind)
-    return apply_linear(bp["fc2"], h, compute)
+    return apply_reduce_linear(bp["fc2"], h, compute)

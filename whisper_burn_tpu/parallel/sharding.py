@@ -26,8 +26,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from whisper_burn_tpu.models.params import Params
 
-# linears split by output features (N axis of [K, N] apply layout)
-_COL_PARALLEL = {"attn_q", "attn_k", "attn_v", "xattn_q", "xattn_k", "xattn_v", "fc1"}
+# linears split by output features (N axis of [K, N] apply layout). The
+# fused projections (attn_qkv / xattn_kv) are column-parallel too — their N
+# axis must be built shard-interleaved (models/params.fuse_attention_params
+# with tp>1) for shard_map bodies, where the split is a *local* reslice.
+_COL_PARALLEL = {
+    "attn_q", "attn_k", "attn_v", "attn_qkv",
+    "xattn_q", "xattn_k", "xattn_v", "xattn_kv",
+    "fc1",
+}
 # linears split by input features (K axis) -> psum after
 _ROW_PARALLEL = {"attn_o", "xattn_o", "fc2"}
 

@@ -69,18 +69,21 @@ class TranscribeResult:
     lang_token: int
 
 
-def prepare_params(params: Params, compute: Compute, fuse: bool = True) -> Params:
+def prepare_params(
+    params: Params, compute: Compute, fuse: bool = True, tp: int = 1
+) -> Params:
     """Serving-time param preparation: fuse q/k/v projections into wide
     matmuls (models/params.fuse_attention_params), move on-device, and cast
     dense weights/embeddings to the compute dtype once (so the decode loop
     streams bf16, not f32). LayerNorm params, biases, and quant scales stay
-    f32. Pass ``fuse=False`` under tensor parallelism (the fused N axis
-    would shard across the q/k/v boundary).
+    f32. Under tensor parallelism pass ``tp`` = model-axis size so the
+    fused N axis is built shard-interleaved (correct for the shard_map
+    route in parallel/sharded.py).
     """
     if fuse:
         from whisper_burn_tpu.models.params import fuse_attention_params
 
-        params = fuse_attention_params(params)
+        params = fuse_attention_params(params, tp=tp)
 
     def cast(path, x):
         leaf = path[-1].key if path else ""
@@ -107,7 +110,14 @@ class WhisperPipeline:
         beam_width: int = 1,
         task: str = "transcribe",
         bucket_batches: bool = True,
+        mesh=None,
     ):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with (data, model)
+        axes — the pipeline then shards params Megatron-style over
+        ``model``, splits utterance batches over ``data``, and compiles the
+        decode through shard_map (parallel/sharded.py) so the one-call
+        ``transcribe()`` surface (src/transcribe.rs:34) runs at pod scale.
+        """
         if isinstance(model, LoadedModel):
             cfg, params = model.config, model.params
         else:
@@ -131,7 +141,17 @@ class WhisperPipeline:
         # round batch sizes up to powers of two (padding with silence) so
         # arbitrary batch sizes reuse a handful of compiled programs
         self.bucket_batches = bucket_batches
-        self.params = prepare_params(params, self.compute)
+        self.mesh = mesh
+        tp = 1
+        if mesh is not None:
+            from whisper_burn_tpu.parallel import validate_tp
+
+            tp = validate_tp(cfg, mesh)
+        self.params = prepare_params(params, self.compute, tp=tp)
+        if mesh is not None:
+            from whisper_burn_tpu.parallel import shard_params_tp
+
+            self.params = shard_params_tp(self.params, mesh)
         self.mel = MelFrontend(n_mels=cfg.n_mels, norm=mel_norm, dtype=jnp.float32)
         # 30 s (480,000 samples) for real models; derived from the audio
         # context so miniature test configs work too (frames = 2 * n_audio_ctx,
@@ -146,11 +166,15 @@ class WhisperPipeline:
         if key not in self._jitted:
             cfg, compute, mel = self.config, self.compute, self.mel
             max_tokens, beam_width = self.max_tokens, self.beam_width
+            task, mesh = self.task, self.mesh
 
-            task = self.task
+            if mesh is not None:
+                tp = mesh.shape.get("model", 1)
+                compute = compute.replace(
+                    tp=tp, tp_axis="model" if tp > 1 else None
+                )
 
-            def run(params, audio, lang_tokens):
-                features = mel(audio)  # [B, n_mels, 3000]
+            def decode(params, features, lang_tokens):
                 if beam_width > 1:
                     return beam_decode(
                         params, cfg, features, lang_tokens, compute,
@@ -162,7 +186,30 @@ class WhisperPipeline:
                     detect=detect, max_tokens=max_tokens, task=task,
                 )
 
-            self._jitted[key] = jax.jit(run)
+            def body(params, audio, lang_tokens):
+                features = mel(audio)  # [B(/data), n_mels, 3000]
+                return decode(params, features, lang_tokens)
+
+            if mesh is None:
+                self._jitted[key] = jax.jit(body)
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                from whisper_burn_tpu.parallel.sharding import param_pspecs
+
+                def run(params, audio, lang_tokens):
+                    # the mel frontend is per-utterance, so it lives inside
+                    # the shard_map body: audio shards over `data` and mel
+                    # never materializes unsharded
+                    return jax.shard_map(
+                        body,
+                        mesh=mesh,
+                        in_specs=(param_pspecs(params), P("data"), P("data")),
+                        out_specs=P("data"),
+                        check_vma=False,
+                    )(params, audio, lang_tokens)
+
+                self._jitted[key] = jax.jit(run)
         return self._jitted[key]
 
     # -- public API --------------------------------------------------------
@@ -187,9 +234,16 @@ class WhisperPipeline:
         lang_tokens = np.array([self._lang_token(l) for l in languages], np.int32)
         detect = bool((lang_tokens < 0).any())
 
+        data = 1 if self.mesh is None else self.mesh.shape.get("data", 1)
         padded_b = b
         if self.bucket_batches and b > 1:
             padded_b = 1 << (b - 1).bit_length()  # next power of two
+        if data > 1:
+            # per-shard bucketing: every data shard gets the same
+            # power-of-two utterance count
+            per_shard = -(-padded_b // data)
+            per_shard = 1 << max(0, per_shard - 1).bit_length() if per_shard > 1 else 1
+            padded_b = data * per_shard
         if padded_b != b:
             pad = padded_b - b
             samples = np.concatenate(
