@@ -29,10 +29,11 @@ def initialize(
 
     On Cloud TPU all arguments auto-detect from the metadata environment;
     pass them explicitly elsewhere. Safe to call once per process, before
-    any other JAX use.
+    any other JAX use (``jax.process_count()`` must NOT be used as the
+    idempotency check — it would itself initialize the XLA backend).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
