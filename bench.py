@@ -82,6 +82,21 @@ def main() -> None:
 
     audio_seconds = BATCH * SECONDS_PER_UTTERANCE * TIMED_ITERS
     value = audio_seconds / elapsed
+
+    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+        try:
+            breakdown = _stage_breakdown(cfg, compute, params, audio, lang)
+            breakdown["headline_ms"] = round(elapsed / TIMED_ITERS * 1e3, 1)
+            breakdown["batch"] = BATCH
+            with open(
+                os.path.join(os.path.dirname(__file__) or ".", "BENCH_BREAKDOWN.json"),
+                "w",
+            ) as f:
+                json.dump(breakdown, f, indent=1)
+            print(json.dumps({"breakdown_ms": breakdown}), file=sys.stderr)
+        except Exception as e:  # never let attribution break the headline
+            print(json.dumps({"breakdown_error": str(e)}), file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -92,6 +107,92 @@ def main() -> None:
             }
         )
     )
+
+
+def _stage_breakdown(cfg, compute, params, audio, lang) -> dict:
+    """Per-stage wall-clock attribution: {mel, encoder, crossfill, prefill,
+    decode, decode_per_token_us} — each stage its own jitted program, timed
+    with device sync via StageTimer (VERDICT r1 item 4). Stage-sliced times
+    add a bit of dispatch overhead vs the fused headline program, so the
+    headline is still measured on the one-jit path above."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_burn_tpu.audio.mel import MelFrontend
+    from whisper_burn_tpu.models.config import SOT
+    from whisper_burn_tpu.models.decoder import (
+        decode_step,
+        fill_cross_cache,
+        init_cache,
+        prefill,
+    )
+    from whisper_burn_tpu.models.encoder import encode
+    from whisper_burn_tpu.models.whisper import PROMPT_LEN
+    from whisper_burn_tpu.utils.profiling import StageTimer
+
+    max_tokens = 224
+    mel_frontend = MelFrontend(n_mels=cfg.n_mels, norm="slaney")
+    b = audio.shape[0]
+
+    mel_fn = jax.jit(mel_frontend)
+    enc_fn = jax.jit(lambda p, m: encode(p, m, cfg, compute))
+
+    @jax.jit
+    def crossfill_fn(p, enc_out):
+        ctx = min(cfg.n_text_ctx, max(64, -(-(PROMPT_LEN + max_tokens) // 64) * 64))
+        cache = init_cache(cfg, b, compute, ctx=ctx)
+        return fill_cross_cache(p, cfg, enc_out, cache, compute)
+
+    @jax.jit
+    def prefill_fn(p, cache, lang):
+        prompt = jnp.stack(
+            [
+                jnp.full((b,), SOT, jnp.int32),
+                lang,
+                jnp.full((b,), cfg.transcribe_token, jnp.int32),
+                jnp.full((b,), cfg.no_timestamps_token, jnp.int32),
+            ],
+            axis=1,
+        )
+        return prefill(p, cfg, prompt, cache, compute)
+
+    @jax.jit
+    def decode_fn(p, first, cache):
+        def body(k, carry):
+            tok, cache = carry
+            logits, cache = decode_step(p, cfg, tok, PROMPT_LEN + k - 1, cache, compute)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+        return jax.lax.fori_loop(1, max_tokens, body, (first, cache))
+
+    # compile everything first so the timed pass measures steady-state
+    mel = mel_fn(audio)
+    cache = crossfill_fn(params, enc_fn(params, mel))
+    logits, cache2 = prefill_fn(params, cache, lang)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    jax.block_until_ready(decode_fn(params, first, cache2))
+
+    timer = StageTimer(sync=True)
+    with timer.stage("mel"):
+        mel = mel_fn(audio)
+        jax.block_until_ready(mel)
+    with timer.stage("encoder"):
+        enc_out = enc_fn(params, mel)
+        jax.block_until_ready(enc_out)
+    with timer.stage("crossfill"):
+        cache = crossfill_fn(params, enc_out)
+        jax.block_until_ready(cache.cross_k)
+    with timer.stage("prefill"):
+        logits, cache = prefill_fn(params, cache, lang)
+        jax.block_until_ready(logits)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    with timer.stage("decode"):
+        out = decode_fn(params, first, cache)
+        jax.block_until_ready(out)
+
+    ms = {k: round(v * 1e3, 2) for k, v in timer.totals.items()}
+    ms["decode_per_token_us"] = round(timer.totals["decode"] / (max_tokens - 1) * 1e6, 1)
+    return ms
 
 
 if __name__ == "__main__":

@@ -1,0 +1,91 @@
+"""Quantization-accuracy floors (VERDICT r1 item 3).
+
+Two layers of enforcement:
+
+* an in-CI mini-sweep (tiny config, CPU) isolating the **KV-cache
+  quantization** cost: the reference is the same Q4 weights at f32
+  compute, so any disagreement is attributable to the KV/compute dtype,
+  not weight quantization — floors are tight;
+* the committed ``ACCURACY.json`` (produced by scripts/accuracy_sweep.py
+  at real Large-V3 dims on TPU) must meet the serving floors that back the
+  bench's int4 default.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from whisper_burn_tpu.eval.quant_accuracy import compare_variant, reference_run
+from whisper_burn_tpu.models import WhisperConfig, random_params
+from whisper_burn_tpu.ops import Compute
+from whisper_burn_tpu.ops.compute import KernelBackend
+
+ACCURACY_JSON = Path(__file__).resolve().parent.parent / "ACCURACY.json"
+
+# serving floors: what the int8/int4 KV defaults must sustain
+FLOORS = {
+    "q4_bf16": 0.95,
+    "q4_int8kv": 0.95,
+    "q4_int4kv": 0.90,
+}
+
+
+def test_kv_quantization_floors_small():
+    """KV-cache quantization alone (int8 self / int4 cross vs f32, same Q4
+    weights) keeps per-step token agreement above the serving floors."""
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+    steps, batch = 24, 4
+    xla = KernelBackend.XLA
+    ref_compute = Compute.parity().replace(backend=xla)
+
+    agreements = {k: [] for k in FLOORS}
+    for seed in range(3):
+        params = random_params(cfg, seed=seed, quantized=True)
+        rng = np.random.default_rng(100 + seed)
+        mel = jnp.asarray(
+            rng.standard_normal((batch, cfg.n_mels, cfg.n_audio_ctx * 2)).astype(
+                np.float32
+            )
+        )
+        langs = jnp.asarray(
+            rng.integers(cfg.lang_token_start, cfg.lang_token_end, size=batch),
+            jnp.int32,
+        )
+        ref_tokens, ref_lg, valid = reference_run(
+            params, cfg, mel, langs, ref_compute, steps
+        )
+        for name, comp in {
+            "q4_bf16": Compute.fast().replace(backend=xla),
+            "q4_int8kv": Compute.fastest(kv_bits=8).replace(backend=xla),
+            "q4_int4kv": Compute.fastest(kv_bits=4).replace(backend=xla),
+        }.items():
+            row = compare_variant(
+                ref_lg, valid, params, cfg, mel, langs, ref_tokens, comp, steps
+            )
+            agreements[name].append(row["token_agreement"])
+
+    for name, floor in FLOORS.items():
+        mean = float(np.mean(agreements[name]))
+        assert mean >= floor, (
+            f"{name}: mean token agreement {mean:.4f} below floor {floor} "
+            f"(per-seed {agreements[name]})"
+        )
+
+
+def test_committed_accuracy_numbers_meet_floors():
+    """The committed real-dims sweep (ACCURACY.json) backs the bench's
+    int4 default with data: agreement and drift floors hold."""
+    if not ACCURACY_JSON.exists():
+        pytest.skip("ACCURACY.json not yet produced (requires the TPU chip)")
+    data = json.loads(ACCURACY_JSON.read_text())
+    variants = data["variants"]
+    for name, floor in FLOORS.items():
+        s = variants[name]
+        assert s["token_agreement_mean"] >= floor, (name, s)
+    # drift stays bounded relative to the reference logit spread
+    for name in FLOORS:
+        assert variants[name]["norm_drift_max"] <= 1.5, (name, variants[name])

@@ -97,6 +97,24 @@ def test_auto_language_detection(pipeline):
     assert 50259 <= res.lang_token < 50259 + pipeline.config.n_lang
 
 
+def test_profile_mode_reports_stages(model, tokenizer):
+    """profile=True accumulates per-stage timings + throughput (the
+    reference's tracing-span equivalent, SURVEY §5; VERDICT r1 item 10)."""
+    compute = Compute.parity().replace(backend=KernelBackend.XLA)
+    pipe = WhisperPipeline(
+        model, tokenizer, compute=compute, max_tokens=8, profile=True
+    )
+    pipe.transcribe(_tone(), language="en")
+    report = pipe.profile_report()
+    for stage in ("audio_prep", "device_step", "detokenize", "throughput:"):
+        assert stage in report, report
+    assert pipe.throughput.audio_seconds > 0
+    assert pipe.throughput.tokens > 0
+    # a second call accumulates
+    pipe.transcribe(_tone(hz=300), language="en")
+    assert pipe.stage_timer.counts["device_step"] == 2
+
+
 def test_reference_frontend_profile(model, tokenizer):
     compute = Compute.parity().replace(backend=KernelBackend.XLA)
     pipe = WhisperPipeline(

@@ -44,6 +44,41 @@ def test_batching_transcriber_parallel_submits(pipeline):
         server.shutdown()
 
 
+def test_backpressure_bounded_queue(pipeline):
+    """Past max_pending, submit raises ServerOverloadedError instead of
+    buffering without bound (VERDICT r1 weak #6)."""
+    from whisper_burn_tpu.serving import ServerOverloadedError
+
+    server = BatchingTranscriber(
+        pipeline, batch_size=2, max_wait_ms=10, max_pending=3
+    )
+    try:
+        reqs, overloaded = [], 0
+        for i in range(64):
+            try:
+                reqs.append(server.submit(_tone(hz=200 + i), "en"))
+            except ServerOverloadedError:
+                overloaded += 1
+        assert overloaded > 0, "queue never filled — bound not enforced"
+        # accepted requests still complete
+        for r in reqs:
+            r.wait(timeout=300)
+    finally:
+        server.shutdown()
+
+
+def test_graceful_shutdown_drains_inflight(pipeline):
+    """shutdown() completes already-accepted requests and then rejects new
+    ones."""
+    server = BatchingTranscriber(pipeline, batch_size=2, max_wait_ms=10)
+    reqs = [server.submit(_tone(hz=300 + 10 * i), "en") for i in range(5)]
+    server.shutdown(timeout=300)
+    for r in reqs:
+        assert r.result is not None  # drained, not abandoned
+    with pytest.raises(RuntimeError):
+        server.submit(_tone(), "en")
+
+
 def test_http_server_roundtrip(pipeline):
     server, transcriber = serve_http(pipeline, port=0, batch_size=2)
     thread = threading.Thread(target=server.serve_forever, daemon=True)

@@ -36,6 +36,7 @@ def build_pipeline(model_path: str, tokenizer_path: str | None, args: argparse.N
         frontend=getattr(args, "frontend", "openai"),
         beam_width=getattr(args, "beam", 1),
         max_tokens=getattr(args, "max_tokens", 224),
+        profile=getattr(args, "profile", False),
     )
 
 
@@ -53,12 +54,29 @@ def _cmd_transcribe(args: argparse.Namespace) -> int:
 
     pipe = build_pipeline(args.model, args.tokenizer, args)
 
-    for path in args.audio:
-        audio = load_wav(path)
-        if args.long:
-            result = pipe.transcribe_long(audio, language=args.language)
-        else:
-            result = pipe.transcribe(audio, language=args.language)
+    import contextlib
+
+    trace_cm = contextlib.nullcontext()
+    if getattr(args, "trace", None):
+        from whisper_burn_tpu.utils.profiling import trace
+
+        trace_cm = trace(args.trace)
+
+    with trace_cm:
+        results = []
+        for path in args.audio:
+            audio = load_wav(path)
+            if args.long:
+                results.append(pipe.transcribe_long(audio, language=args.language))
+            else:
+                results.append(pipe.transcribe(audio, language=args.language))
+
+    if getattr(args, "profile", False):
+        print(pipe.profile_report(), file=sys.stderr)
+    if getattr(args, "trace", None):
+        print(f"XPlane trace written to {args.trace}", file=sys.stderr)
+
+    for path, result in zip(args.audio, results):
         if args.json:
             print(
                 json.dumps(
@@ -221,6 +239,14 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--max-tokens", type=int, default=224, help="decode cap")
     t.add_argument("--long", action="store_true", help="30s-chunked long audio")
     t.add_argument("--json", action="store_true")
+    t.add_argument(
+        "--profile", action="store_true",
+        help="print per-stage timings + throughput to stderr",
+    )
+    t.add_argument(
+        "--trace", default=None, metavar="DIR",
+        help="write an XPlane trace (TensorBoard/Perfetto) to DIR",
+    )
     t.set_defaults(fn=_cmd_transcribe)
 
     i = sub.add_parser("info", help="inspect a GGUF checkpoint")

@@ -111,12 +111,18 @@ class WhisperPipeline:
         task: str = "transcribe",
         bucket_batches: bool = True,
         mesh=None,
+        profile: bool = False,
     ):
         """``mesh``: an optional ``jax.sharding.Mesh`` with (data, model)
         axes — the pipeline then shards params Megatron-style over
         ``model``, splits utterance batches over ``data``, and compiles the
         decode through shard_map (parallel/sharded.py) so the one-call
         ``transcribe()`` surface (src/transcribe.rs:34) runs at pod scale.
+
+        ``profile``: accumulate per-stage wall-clock times (audio prep /
+        device step / detokenize) in ``self.stage_timer`` and throughput in
+        ``self.throughput`` — the counterpart of the reference's tracing
+        spans (src/transcribe.rs:39-92); read with :meth:`profile_report`.
         """
         if isinstance(model, LoadedModel):
             cfg, params = model.config, model.params
@@ -158,6 +164,11 @@ class WhisperPipeline:
         # src/transcribe.rs:21-24).
         self.chunk_samples = cfg.n_audio_ctx * 2 * WHISPER_HOP
         self._jitted: dict[tuple[int, bool], object] = {}
+        self.profile = profile
+        from whisper_burn_tpu.utils.profiling import StageTimer, ThroughputMeter
+
+        self.stage_timer = StageTimer(sync=True) if profile else None
+        self.throughput = ThroughputMeter() if profile else None
 
     # -- compiled entry ----------------------------------------------------
 
@@ -227,10 +238,19 @@ class WhisperPipeline:
         languages: Sequence[str | None] | None = None,
     ) -> list[TranscribeResult]:
         """Transcribe a batch of utterances in one compiled call."""
+        import contextlib
+
+        stage = self.stage_timer.stage if self.profile else (
+            lambda name: contextlib.nullcontext()
+        )
+        if self.profile:
+            self.throughput.begin()
+
         b = len(audios)
         if languages is None:
             languages = ["auto"] * b
-        samples = np.stack([self._prep_audio(a) for a in audios])
+        with stage("audio_prep"):
+            samples = np.stack([self._prep_audio(a) for a in audios])
         lang_tokens = np.array([self._lang_token(l) for l in languages], np.int32)
         detect = bool((lang_tokens < 0).any())
 
@@ -255,19 +275,26 @@ class WhisperPipeline:
 
         fn = self._fn(padded_b, detect)
         start = time.perf_counter()
-        result = fn(self.params, jnp.asarray(samples), jnp.asarray(lang_tokens))
-        tokens = np.asarray(result.tokens)  # blocks
+        with stage("device_step"):
+            result = fn(self.params, jnp.asarray(samples), jnp.asarray(lang_tokens))
+            tokens = np.asarray(result.tokens)  # blocks
         ms = (time.perf_counter() - start) * 1000.0
         n_gen = np.asarray(result.n_generated)
         langs = np.asarray(result.lang_tokens)
 
         out = []
-        for i in range(b):
-            ids = tokens[i, : n_gen[i]]
-            text = (
-                self.tokenizer.decode_transcription(ids) if self.tokenizer else ""
+        with stage("detokenize"):
+            for i in range(b):
+                ids = tokens[i, : n_gen[i]]
+                text = (
+                    self.tokenizer.decode_transcription(ids) if self.tokenizer else ""
+                )
+                out.append(TranscribeResult(text, ms, ids, int(langs[i])))
+        if self.profile:
+            self.throughput.end(
+                audio_seconds=b * samples.shape[1] / 16000.0,
+                tokens=int(n_gen[:b].sum()),
             )
-            out.append(TranscribeResult(text, ms, ids, int(langs[i])))
         return out
 
     def transcribe_long(
@@ -292,6 +319,18 @@ class WhisperPipeline:
             tokens=np.concatenate([r.tokens for r in results]),
             lang_token=results[0].lang_token,
         )
+
+    def profile_report(self) -> str:
+        """Per-stage timings + throughput counters (requires profile=True)."""
+        if not self.profile:
+            return "profiling disabled (construct with profile=True)"
+        lines = [self.stage_timer.report()]
+        lines.append(
+            f"throughput: {self.throughput.audio_s_per_s:.1f} audio-s/s, "
+            f"{self.throughput.tokens_per_s:.1f} tok/s over "
+            f"{self.throughput.wall_seconds:.2f}s"
+        )
+        return "\n".join(lines)
 
     # -- helpers -----------------------------------------------------------
 
