@@ -106,23 +106,20 @@ def beam_decode(
     # top-W first tokens seed the beams
     seed_logp, seed_tok = jax.lax.top_k(logp0, w)  # [B, W]
 
-    # expand caches to the stream axis B*W (cross stays shared via
-    # batch_groups in the flash kernel; the XLA fallback needs it repeated)
+    # expand self caches to the stream axis B*W; the cross cache stays at
+    # utterance granularity on every path — the flash kernel shares it via
+    # its grouped index_map, the XLA path via attention_grouped — so beams
+    # add ZERO cross-cache HBM (no W-fold repeat on any backend).
     def rep(x):
         return jnp.repeat(x, w, axis=1)
 
-    from whisper_burn_tpu.models.decoder import _flash_supported
-
-    share_cross = _flash_supported(cfg, utt_cache, compute)
     quantized_self = utt_cache.self_kv_scale is not None
     cache = utt_cache._replace(
         self_k=rep(utt_cache.self_k),
         self_v=rep(utt_cache.self_v),
-        cross_k=utt_cache.cross_k if share_cross else rep(utt_cache.cross_k),
-        cross_v=utt_cache.cross_v if share_cross else rep(utt_cache.cross_v),
         self_kv_scale=rep(utt_cache.self_kv_scale) if quantized_self else None,
     )
-    batch_groups = w if share_cross else 1
+    batch_groups = w
 
     tokens = jnp.full((bw, max_tokens), EOT, jnp.int32)
     tokens = tokens.at[:, 0].set(seed_tok.reshape(bw))
