@@ -244,6 +244,83 @@ int64_t wh_resample_poly(const float* in, int64_t n_in, int32_t up,
   return n_out;
 }
 
-int wh_version(void) { return 1; }
+// ---------------------------------------------------------------------------
+// Parallel batch feeder: N files -> [N, target_samples] f32, 16 kHz, padded
+// ---------------------------------------------------------------------------
+
+// Decode + resample-to-16k + pad/trim one file into out_row; *n_16k gets
+// the pre-framing 16 kHz sample count (true duration for metrics).
+static int feed_one(const char* path, float* out_row, int64_t target_samples,
+                    int64_t* n_16k) {
+  int32_t rate = 0;
+  int64_t n = wh_load_wav(path, nullptr, 0, &rate);
+  if (n < 0) return (int)n;
+  std::vector<float> buf((size_t)n);
+  if (wh_load_wav(path, buf.data(), n, &rate) != n) return -6;
+
+  const float* samples = buf.data();
+  int64_t n_samples = n;
+  std::vector<float> resampled;
+  if (rate != 16000) {
+    // up/down = 16000/rate reduced by gcd
+    int64_t a = 16000, b = rate;
+    while (b) { int64_t t = a % b; a = b; b = t; }
+    const int32_t up = (int32_t)(16000 / a), down = (int32_t)(rate / a);
+    int64_t n_out = wh_resample_poly(samples, n_samples, up, down, nullptr, 0);
+    if (n_out < 0) return (int)n_out;
+    resampled.resize((size_t)n_out);
+    if (wh_resample_poly(samples, n_samples, up, down, resampled.data(), n_out) != n_out)
+      return -7;
+    samples = resampled.data();
+    n_samples = n_out;
+  }
+
+  if (n_16k) *n_16k = n_samples;
+  const int64_t copy = std::min(n_samples, target_samples);
+  std::memcpy(out_row, samples, sizeof(float) * (size_t)copy);
+  if (copy < target_samples)
+    std::memset(out_row + copy, 0, sizeof(float) * (size_t)(target_samples - copy));
+  return 0;
+}
+
+// The host-side data loader for batched serving/eval: decodes, resamples
+// and frames n_files WAVs in parallel into one [n_files, target_samples]
+// row-major f32 buffer (the exact mel-frontend input layout). lengths (if
+// given) receives each file's pre-framing 16 kHz sample count. Returns 0,
+// or the first per-file error code (per-file status in statuses if given).
+int wh_load_batch(const char** paths, int64_t n_files, int64_t target_samples,
+                  float* out, int32_t* statuses, int64_t* lengths,
+                  int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = (int)std::min<int64_t>(n_threads, std::max<int64_t>(n_files, 1));
+
+  std::vector<int32_t> local_status((size_t)n_files, 0);
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      local_status[(size_t)i] =
+          feed_one(paths[i], out + i * target_samples, target_samples,
+                   lengths ? lengths + i : nullptr);
+  };
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n_files + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t lo = t * chunk, hi = std::min(n_files, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+
+  int rc = 0;
+  for (int64_t i = 0; i < n_files; ++i) {
+    if (statuses) statuses[i] = local_status[(size_t)i];
+    if (rc == 0 && local_status[(size_t)i] != 0) rc = local_status[(size_t)i];
+  }
+  return rc;
+}
+
+int wh_version(void) { return 2; }
 
 }  // extern "C"

@@ -88,3 +88,42 @@ def test_resample_close_to_scipy(native):
 
 def test_repack_rejects_bad_k(native):
     assert native.repack_q4_0(b"\x00" * 18, 1, 33) is None
+
+
+def test_load_batch_parallel_feeder(native, tmp_path):
+    """wh_load_batch: N files decoded + resampled + framed in parallel ==
+    the per-file Python path (load_wav -> resample_to_16k -> pad_or_trim)."""
+    from whisper_burn_tpu.audio.io import AudioBuffer, load_wav, save_wav
+    from whisper_burn_tpu.audio.mel import pad_or_trim
+    from whisper_burn_tpu.audio.resample import resample_to_16k
+
+    rng = np.random.default_rng(7)
+    paths, rates, lengths = [], [16000, 8000, 22050], [12000, 5000, 40000]
+    for i, (rate, n) in enumerate(zip(rates, lengths)):
+        samples = (rng.standard_normal(n) * 0.3).astype(np.float32)
+        p = tmp_path / f"a{i}.wav"
+        save_wav(p, AudioBuffer(samples=samples, sample_rate=rate))
+        paths.append(p)
+
+    target = 16000
+    out = native.load_batch(paths, target)
+    assert out is not None, "library missing wh_load_batch (rebuild native/)"
+    batch, statuses, lengths = out
+    assert batch.shape == (3, target)
+    np.testing.assert_array_equal(statuses, 0)
+    # true pre-framing 16 kHz lengths: 12000@16k, 5000@8k -> 10000, 40000@22050 -> ~29025
+    assert lengths[0] == 12000 and lengths[1] == 10000
+    assert abs(lengths[2] - 40000 * 16000 // 22050) <= 2
+
+    for i, p in enumerate(paths):
+        audio = load_wav(p)
+        if audio.sample_rate != 16000:
+            audio = resample_to_16k(audio)
+        expect = pad_or_trim(audio.samples, target)
+        # save_wav writes 16-bit PCM; both paths decode the same ints, so
+        # agreement is tight (resampler designs are scipy-identical)
+        np.testing.assert_allclose(batch[i], expect, atol=2e-4)
+
+    # missing file -> nonzero per-file status, others unaffected
+    batch2, statuses2, _ = native.load_batch([paths[0], tmp_path / "nope.wav"], target)
+    assert statuses2[0] == 0 and statuses2[1] != 0

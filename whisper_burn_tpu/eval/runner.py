@@ -64,19 +64,37 @@ def evaluate_manifest(
 
     todo = [row for row in manifest if str(row["id"]) not in done]
 
+    from whisper_burn_tpu import native_host
+
     with results_path.open("a") as out:
         for start in range(0, len(todo), batch_size):
             chunk = todo[start : start + batch_size]
-            audios = [load_wav(row["audio"]) for row in chunk]
+            # native parallel feeder: decode + resample + frame the whole
+            # batch in C++ threads (native/whisper_host.cpp wh_load_batch);
+            # the per-file Python path is the fallback and the oracle
+            chunk_samples = getattr(pipeline, "chunk_samples", None)
+            fed = (
+                native_host.load_batch([row["audio"] for row in chunk], chunk_samples)
+                if chunk_samples
+                else None
+            )
+            if fed is not None and (fed[1] == 0).all():
+                batch_arr, _, lengths = fed
+                audios = list(batch_arr)
+                durations = [float(n) / 16000.0 for n in lengths]
+            else:
+                loaded = [load_wav(row["audio"]) for row in chunk]
+                audios = loaded
+                durations = [a.duration_s for a in loaded]
             results = pipeline.transcribe_batch(
                 audios, [language] * len(chunk)
             )
-            for row, audio, res in zip(chunk, audios, results):
+            for row, dur, res in zip(chunk, durations, results):
                 rec = {
                     "id": str(row["id"]),
                     "text": res.text,
                     "ref": row.get("text", ""),
-                    "audio_s": audio.duration_s,
+                    "audio_s": dur,
                     "inference_ms": res.inference_ms / len(chunk),
                 }
                 done[rec["id"]] = rec

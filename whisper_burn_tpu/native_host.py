@@ -51,6 +51,13 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
             ]
+            if hasattr(lib, "wh_load_batch"):  # v2 library
+                lib.wh_load_batch.restype = ctypes.c_int
+                lib.wh_load_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_int,
+                ]
             _lib = lib
             return lib
     return None
@@ -92,6 +99,29 @@ def load_wav(path: str | Path):
     if n2 != n:
         return None
     return out, int(rate.value)
+
+
+def load_batch(paths: list[str | Path], target_samples: int):
+    """Parallel native batch feeder: decode + resample-to-16k + pad/trim
+    ``len(paths)`` WAVs into one ``[N, target_samples]`` f32 array (the
+    mel-frontend input layout), multithreaded in C++. Returns
+    ``(batch, statuses int32[N], lengths int64[N])`` — lengths are the
+    pre-framing 16 kHz sample counts (true durations) — or None if the
+    library is unavailable or lacks v2 symbols."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "wh_load_batch"):
+        return None
+    n = len(paths)
+    encoded = [str(p).encode() for p in paths]
+    arr = (ctypes.c_char_p * n)(*encoded)
+    out = np.empty((n, target_samples), np.float32)
+    statuses = np.zeros(n, np.int32)
+    lengths = np.zeros(n, np.int64)
+    lib.wh_load_batch(
+        arr, n, target_samples, out.ctypes.data, statuses.ctypes.data,
+        lengths.ctypes.data, 0,
+    )
+    return out, statuses, lengths
 
 
 def resample_poly(samples: np.ndarray, up: int, down: int):
