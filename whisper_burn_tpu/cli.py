@@ -31,12 +31,19 @@ def build_pipeline(model_path: str, tokenizer_path: str | None, args: argparse.N
         WhisperTokenizer.from_file(tokenizer_path) if tokenizer_path else None
     )
     compute = Compute.fast() if getattr(args, "bf16", False) else Compute.parity()
+    mesh = None
+    dp, tp = getattr(args, "dp", 0), getattr(args, "tp", 0)
+    if dp or tp:
+        from whisper_burn_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=dp or None, model=tp or 1)
     return WhisperPipeline(
         model, tokenizer, compute=compute,
         frontend=getattr(args, "frontend", "openai"),
         beam_width=getattr(args, "beam", 1),
         max_tokens=getattr(args, "max_tokens", 224),
         profile=getattr(args, "profile", False),
+        mesh=mesh,
     )
 
 
@@ -175,7 +182,14 @@ def _cmd_serve(args: argparse.Namespace) -> int:
     compute = {"parity": Compute.parity, "fast": Compute.fast, "fastest": Compute.fastest}[
         args.compute
     ]()
-    pipe = WhisperPipeline(model, tokenizer, compute=compute, beam_width=args.beam)
+    mesh = None
+    if args.dp or args.tp:
+        from whisper_burn_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=args.dp or None, model=args.tp or 1)
+    pipe = WhisperPipeline(
+        model, tokenizer, compute=compute, beam_width=args.beam, mesh=mesh
+    )
     server, transcriber = serve_http(
         pipe, host=args.host, port=args.port, batch_size=args.batch
     )
@@ -247,6 +261,14 @@ def main(argv: list[str] | None = None) -> int:
         "--trace", default=None, metavar="DIR",
         help="write an XPlane trace (TensorBoard/Perfetto) to DIR",
     )
+    t.add_argument(
+        "--dp", type=int, default=0,
+        help="data-parallel mesh axis (0 = all devices after --tp)",
+    )
+    t.add_argument(
+        "--tp", type=int, default=0,
+        help="tensor-parallel mesh axis (shard_map fast path)",
+    )
     t.set_defaults(fn=_cmd_transcribe)
 
     i = sub.add_parser("info", help="inspect a GGUF checkpoint")
@@ -285,6 +307,8 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--batch", type=int, default=8)
     sv.add_argument("--beam", type=int, default=1)
     sv.add_argument("--compute", choices=["parity", "fast", "fastest"], default="fastest")
+    sv.add_argument("--dp", type=int, default=0, help="data-parallel mesh axis")
+    sv.add_argument("--tp", type=int, default=0, help="tensor-parallel mesh axis")
     sv.set_defaults(fn=_cmd_serve)
 
     ap = sub.add_parser("app", help="interactive push-to-talk transcription")
