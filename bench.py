@@ -7,7 +7,8 @@ Pallas Q4 matmuls, the flash-decode attention kernel, an int4-packed
 cross-KV cache built layer-streamed (per-channel scales folded outside the
 kernel), and a per-token int8 self-KV cache (scales applied inside the
 decode kernel) — the memory halving that fits B=128 on one 16 GB chip.
-Override via env: BENCH_BATCH, BENCH_KV=bf16. Weights are
+Override via env: BENCH_BATCH, BENCH_KV=bf16,
+BENCH_CONFIG=turbo|medium (headline stays large_v3). Weights are
 fabricated-quantized at real Large-V3 shapes (no checkpoint download is
 possible in this environment; the arithmetic/bandwidth profile is
 identical to a real Q4_0 checkpoint). Random weights never emit EOT early,
@@ -49,7 +50,11 @@ def main() -> None:
     from whisper_burn_tpu.ops import Compute
     from whisper_burn_tpu.transcribe import prepare_params
 
-    cfg = WhisperConfig.large_v3()
+    cfg = {
+        "large_v3": WhisperConfig.large_v3,
+        "turbo": WhisperConfig.large_v3_turbo,
+        "medium": WhisperConfig.medium,
+    }[os.environ.get("BENCH_CONFIG", "large_v3")]()
     kv = os.environ.get("BENCH_KV", "int4")
     compute = {
         "bf16": Compute.fast(),

@@ -42,7 +42,14 @@ from whisper_burn_tpu.ops import Compute
 from whisper_burn_tpu.ops.compute import KernelBackend
 
 
-def run_sweep(cfg_name: str, seeds: int, steps: int, batch: int, backend: str):
+def run_sweep(
+    cfg_name: str,
+    seeds: int,
+    steps: int,
+    batch: int,
+    backend: str,
+    on_seed=None,
+):
     cfg = {
         "large_v3": WhisperConfig.large_v3,
         "turbo": WhisperConfig.large_v3_turbo,
@@ -93,8 +100,15 @@ def run_sweep(cfg_name: str, seeds: int, steps: int, batch: int, backend: str):
             f"seed {seed} done in {time.time() - t0:.1f}s: "
             + ", ".join(f"{k}={acc[k][-1]['token_agreement']:.4f}" for k in variants),
             file=sys.stderr,
+            flush=True,
         )
+        if on_seed is not None:
+            on_seed(_summarize(acc, cfg_name, seed + 1, steps, batch, backend))
 
+    return _summarize(acc, cfg_name, seeds, steps, batch, backend)
+
+
+def _summarize(acc, cfg_name, seeds, steps, batch, backend):
     summary = {}
     for name, rows in acc.items():
         summary[name] = dict(
@@ -165,7 +179,12 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--out", default="ACCURACY")
     args = ap.parse_args()
-    result = run_sweep(args.config, args.seeds, args.steps, args.batch, args.backend)
+    # partial results are flushed after every seed so a wall-clock-limited
+    # run still leaves a usable (fewer-seed) artifact on disk
+    result = run_sweep(
+        args.config, args.seeds, args.steps, args.batch, args.backend,
+        on_seed=lambda partial: write_outputs(partial, args.out),
+    )
     write_outputs(result, args.out)
     print(json.dumps({k: v["token_agreement_mean"] for k, v in result["variants"].items()}))
 
