@@ -1,24 +1,31 @@
 """Quantization-accuracy acceptance sweep CLI (VERDICT r1 item 3).
 
-Measures, at real model dims, what each serving-mode quantization costs
-relative to an f32 reference — the offline proxy for BASELINE.md's WER
-target (no real checkpoint exists in this environment):
+Measures, at real model dims, what each serving-mode quantization costs —
+the offline proxy for BASELINE.md's WER target (no real checkpoint exists
+in this environment). Two references isolate the two axes:
 
-* weight axis: f32 weights vs Q4_0-quantized weights (same underlying
-  float values, quantized through gguf/repack.py — the real checkpoint
-  path);
-* KV-cache axis: bf16 vs int8 (per-channel cross / per-token self) vs
-  int4-packed cross + int8 self (``Compute.fastest(kv_bits=4)``, the
-  bench default).
+* **KV/compute axis** (the floored serving question): bf16 compute and the
+  {bf16, int8, int4-packed} KV-cache variants are teacher-forced against a
+  reference with the **same Q4_0 weights at f32 compute** — any
+  disagreement is attributable to the serving-mode numerics, not weight
+  quantization. These rows carry the acceptance floors
+  (tests/test_accuracy.py), matching how the in-CI mini-sweep is framed.
+* **weight axis** (diagnostic): Q4_0 weights at f32 compute vs **f32
+  weights** at f32 compute. With random weights at a 51k vocab the logit
+  surface is nearly flat, so absolute argmax agreement on this axis is
+  dominated by tie-breaking noise and is reported *unfloored*; the
+  meaningful signal is logit drift relative to the reference logit spread
+  (trained checkpoints have peaked logits, where the same drift flips far
+  fewer argmaxes).
 
 The measurement core lives in whisper_burn_tpu/eval/quant_accuracy.py
-(teacher-forced per-step agreement + logit drift); floors are enforced by
-tests/test_accuracy.py.
+(teacher-forced per-step agreement + logit drift).
 
 Usage (on the TPU chip; CPU works for the tiny config):
     python scripts/accuracy_sweep.py --config large_v3 --seeds 5 \
         --steps 64 --batch 4 --out ACCURACY
-Writes <out>.md (human table) and <out>.json (machine-readable).
+Writes <out>.md (human table) and <out>.json (machine-readable); partial
+results are flushed after every seed.
 """
 
 from __future__ import annotations
@@ -63,8 +70,8 @@ def run_sweep(
         "pallas": KernelBackend.PALLAS,
     }[backend]
 
+    # serving variants, floored vs the q4-weights/f32-compute reference
     variants = {
-        "q4_f32": Compute.parity().replace(backend=kb),
         "q4_bf16": Compute.fast().replace(backend=kb),
         "q4_int8kv": Compute.fastest(kv_bits=8).replace(backend=kb),
         "q4_int4kv": Compute.fastest(kv_bits=4).replace(backend=kb),
@@ -72,6 +79,7 @@ def run_sweep(
     ref_compute = Compute.parity().replace(backend=KernelBackend.XLA)
 
     acc: dict[str, list] = {k: [] for k in variants}
+    acc["weight_q4"] = []  # diagnostic: q4@f32 vs f32@f32
     for seed in range(seeds):
         t0 = time.time()
         # matched f32/Q4 pairs: same rng stream -> identical float weights
@@ -88,17 +96,32 @@ def run_sweep(
             jnp.int32,
         )
 
-        ref_tokens, ref_lg, valid = reference_run(
-            params_f32, cfg, mel, langs, ref_compute, steps
+        # reference B: SAME Q4 weights at f32 compute — the serving floors
+        # measure KV/compute numerics in isolation against this
+        refq_tokens, refq_lg, refq_valid = reference_run(
+            params_q4, cfg, mel, langs, ref_compute, steps
         )
         for name, comp in variants.items():
             row = compare_variant(
-                ref_lg, valid, params_q4, cfg, mel, langs, ref_tokens, comp, steps
+                refq_lg, refq_valid, params_q4, cfg, mel, langs, refq_tokens,
+                comp, steps,
             )
             acc[name].append(dict(seed=seed, **row))
+
+        # reference A: f32 weights — the weight-quantization diagnostic
+        ref_tokens, ref_lg, valid = reference_run(
+            params_f32, cfg, mel, langs, ref_compute, steps
+        )
+        row = compare_variant(
+            ref_lg, valid, params_q4, cfg, mel, langs, ref_tokens,
+            ref_compute, steps,
+        )
+        acc["weight_q4"].append(dict(seed=seed, **row))
+        del params_f32  # ~6.2 GB on device; free before the next seed
+
         print(
             f"seed {seed} done in {time.time() - t0:.1f}s: "
-            + ", ".join(f"{k}={acc[k][-1]['token_agreement']:.4f}" for k in variants),
+            + ", ".join(f"{k}={acc[k][-1]['token_agreement']:.4f}" for k in acc),
             file=sys.stderr,
             flush=True,
         )
@@ -139,24 +162,30 @@ def write_outputs(result: dict, out: str) -> None:
         f"Config **{result['config']}** at real dims, {result['seeds']} seeds x "
         f"{result['batch']} streams x {result['steps']} teacher-forced decode steps "
         f"per variant, backend `{result['backend']}` on `{result['device']}`. "
-        "Reference: f32 weights, f32 XLA compute. Protocol: the reference greedy "
-        "trajectory is teacher-forced through each quantized variant; per-step "
-        "argmax agreement + logit drift are measured over pre-EOT steps "
-        "(whisper_burn_tpu/eval/quant_accuracy.py).",
+        "Protocol: a reference greedy trajectory is teacher-forced through each "
+        "variant; per-step argmax agreement + logit drift are measured over "
+        "pre-EOT steps (whisper_burn_tpu/eval/quant_accuracy.py).",
         "",
-        "| variant | weights | compute | KV cache | token agreement (mean / min over seeds) | max logit drift | drift / ref-logit-std |",
+        "Serving rows (floored, tests/test_accuracy.py): reference = the SAME "
+        "Q4_0 weights at f32/XLA compute, so disagreement isolates the "
+        "KV-cache/compute numerics. The `weight_q4` row (unfloored diagnostic) "
+        "compares Q4_0 vs f32 weights: with random weights at a 51k vocab the "
+        "logit surface is flat and argmax agreement is tie-breaking noise — "
+        "drift/ref-logit-std is the meaningful column there.",
+        "",
+        "| variant | reference | compute | KV cache | token agreement (mean / min over seeds) | max logit drift | drift / ref-logit-std |",
         "|---|---|---|---|---|---|---|",
     ]
     meta = {
-        "q4_f32": ("Q4_0", "f32", "f32"),
-        "q4_bf16": ("Q4_0", "bf16", "bf16"),
-        "q4_int8kv": ("Q4_0", "bf16", "int8 self + int8 cross"),
-        "q4_int4kv": ("Q4_0", "bf16", "int8 self + int4 cross (bench default)"),
+        "q4_bf16": ("q4 @ f32", "bf16", "bf16"),
+        "q4_int8kv": ("q4 @ f32", "bf16", "int8 self + int8 cross"),
+        "q4_int4kv": ("q4 @ f32", "bf16", "int8 self + int4 cross (bench default)"),
+        "weight_q4": ("f32 weights", "f32", "f32"),
     }
     for name, s in result["variants"].items():
-        w, c, kv = meta.get(name, ("?", "?", "?"))
+        ref, c, kv = meta.get(name, ("?", "?", "?"))
         lines.append(
-            f"| {name} | {w} | {c} | {kv} | "
+            f"| {name} | {ref} | {c} | {kv} | "
             f"{s['token_agreement_mean']:.4f} / {s['token_agreement_min']:.4f} | "
             f"{s['max_logit_drift']:.3f} | {s['norm_drift_max']:.3f} |"
         )
@@ -179,6 +208,10 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--out", default="ACCURACY")
     args = ap.parse_args()
+
+    from whisper_burn_tpu.transcribe import enable_compilation_cache
+
+    enable_compilation_cache()  # large-model compiles survive reruns
     # partial results are flushed after every seed so a wall-clock-limited
     # run still leaves a usable (fewer-seed) artifact on disk
     result = run_sweep(

@@ -78,7 +78,14 @@ def test_kv_quantization_floors_small():
 
 def test_committed_accuracy_numbers_meet_floors():
     """The committed real-dims sweep (ACCURACY.json) backs the bench's
-    int4 default with data: agreement and drift floors hold."""
+    int4 default with data: agreement and drift floors hold.
+
+    Floored rows are measured against the same-Q4-weights f32-compute
+    reference (isolating serving-mode numerics, like the small sweep
+    above). The ``weight_q4`` row (Q4 vs f32 weights) is a diagnostic:
+    random-weight logits at a 51k vocab are flat enough that its argmax
+    agreement is tie-breaking noise, so only its drift is sanity-bounded.
+    """
     if not ACCURACY_JSON.exists():
         pytest.skip("ACCURACY.json not yet produced (requires the TPU chip)")
     data = json.loads(ACCURACY_JSON.read_text())
@@ -89,3 +96,5 @@ def test_committed_accuracy_numbers_meet_floors():
     # drift stays bounded relative to the reference logit spread
     for name in FLOORS:
         assert variants[name]["norm_drift_max"] <= 1.5, (name, variants[name])
+    assert "weight_q4" in variants, "weight-quantization diagnostic row missing"
+    assert variants["weight_q4"]["norm_drift_max"] <= 2.0, variants["weight_q4"]
