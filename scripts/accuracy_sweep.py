@@ -117,7 +117,13 @@ def run_sweep(
             ref_compute, steps,
         )
         acc["weight_q4"].append(dict(seed=seed, **row))
-        del params_f32  # ~6.2 GB on device; free before the next seed
+        # each seed materializes ~8 GB of host arrays (f32 + Q4 params);
+        # free them before the next seed or the host OOM-kills around
+        # seed 4 (observed) long before the device runs out
+        del params_f32, params_q4
+        import gc
+
+        gc.collect()
 
         print(
             f"seed {seed} done in {time.time() - t0:.1f}s: "
