@@ -75,43 +75,64 @@ def main() -> None:
     )
     lang = jnp.full((BATCH,), cfg.lang_token_start, jnp.int32)
 
-    # warmup / compile
-    result = step(params, audio, lang)
-    result.tokens.block_until_ready()
-
-    t0 = time.perf_counter()
-    for _ in range(TIMED_ITERS):
+    mode = os.environ.get("BENCH_MODE", "headline")
+    elapsed = float("nan")
+    if mode != "breakdown":
+        # warmup / compile
         result = step(params, audio, lang)
-    result.tokens.block_until_ready()
-    elapsed = time.perf_counter() - t0
+        result.tokens.block_until_ready()
+
+        t0 = time.perf_counter()
+        for _ in range(TIMED_ITERS):
+            result = step(params, audio, lang)
+        result.tokens.block_until_ready()
+        elapsed = time.perf_counter() - t0
 
     audio_seconds = BATCH * SECONDS_PER_UTTERANCE * TIMED_ITERS
     value = audio_seconds / elapsed
 
-    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+    # BENCH_MODE=breakdown runs attribution in a fresh process (no headline
+    # program resident). Attribution defaults to batch 64: the stage-sliced
+    # programs can't share buffers the way the one-jit headline does, and
+    # B=128 stage caches are borderline on a 16 GB chip — worse, a single
+    # device OOM leaves this backend's allocator unable to satisfy even
+    # tiny subsequent requests, so there is deliberately NO retry loop.
+    # The per-stage *ratios* are what the breakdown is for.
+    if mode == "breakdown" or os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+        bd_batch = min(BATCH, int(os.environ.get("BENCH_BREAKDOWN_BATCH", "64")))
         try:
-            breakdown = _stage_breakdown(cfg, compute, params, audio, lang)
-            breakdown["headline_ms"] = round(elapsed / TIMED_ITERS * 1e3, 1)
-            breakdown["batch"] = BATCH
+            breakdown = _stage_breakdown(
+                cfg, compute, params, audio[:bd_batch], lang[:bd_batch]
+            )
+            if mode != "breakdown":
+                breakdown["headline_ms"] = round(elapsed / TIMED_ITERS * 1e3, 1)
+            breakdown["headline_batch"] = BATCH
+            breakdown["batch"] = bd_batch
             with open(
-                os.path.join(os.path.dirname(__file__) or ".", "BENCH_BREAKDOWN.json"),
+                os.path.join(
+                    os.path.dirname(__file__) or ".", "BENCH_BREAKDOWN.json"
+                ),
                 "w",
             ) as f:
                 json.dump(breakdown, f, indent=1)
             print(json.dumps({"breakdown_ms": breakdown}), file=sys.stderr)
         except Exception as e:  # never let attribution break the headline
-            print(json.dumps({"breakdown_error": str(e)}), file=sys.stderr)
+            print(
+                json.dumps({"breakdown_error": str(e), "batch": bd_batch}),
+                file=sys.stderr,
+            )
 
-    print(
-        json.dumps(
-            {
-                "metric": "audio_seconds_per_s_per_chip",
-                "value": round(value, 2),
-                "unit": "audio_s/s",
-                "vs_baseline": round(value / TARGET_AUDIO_S_PER_S, 3),
-            }
+    if mode != "breakdown":
+        print(
+            json.dumps(
+                {
+                    "metric": "audio_seconds_per_s_per_chip",
+                    "value": round(value, 2),
+                    "unit": "audio_s/s",
+                    "vs_baseline": round(value / TARGET_AUDIO_S_PER_S, 3),
+                }
+            )
         )
-    )
 
 
 def _stage_breakdown(cfg, compute, params, audio, lang) -> dict:
@@ -148,7 +169,10 @@ def _stage_breakdown(cfg, compute, params, audio, lang) -> dict:
         cache = init_cache(cfg, b, compute, ctx=ctx)
         return fill_cross_cache(p, cfg, enc_out, cache, compute)
 
-    @jax.jit
+    # the Large-V3 B=128 cache is ~10.7 GB — two live copies exceed the
+    # 16 GB chip, so every stage consuming a cache donates it and the
+    # warmup outputs are dropped before the timed pass
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def prefill_fn(p, cache, lang):
         prompt = jnp.stack(
             [
@@ -161,7 +185,7 @@ def _stage_breakdown(cfg, compute, params, audio, lang) -> dict:
         )
         return prefill(p, cfg, prompt, cache, compute)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def decode_fn(p, first, cache):
         def body(k, carry):
             tok, cache = carry
@@ -173,9 +197,11 @@ def _stage_breakdown(cfg, compute, params, audio, lang) -> dict:
     # compile everything first so the timed pass measures steady-state
     mel = mel_fn(audio)
     cache = crossfill_fn(params, enc_fn(params, mel))
-    logits, cache2 = prefill_fn(params, cache, lang)
+    logits, cache = prefill_fn(params, cache, lang)
     first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    jax.block_until_ready(decode_fn(params, first, cache2))
+    out = decode_fn(params, first, cache)
+    jax.block_until_ready(out)
+    del cache, logits, out
 
     timer = StageTimer(sync=True)
     with timer.stage("mel"):

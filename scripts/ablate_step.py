@@ -18,23 +18,37 @@ BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 KV = os.environ.get("BENCH_KV", "int4")
 
 
-def timeit_chained(fn, params, token, pos, cache, iters=10, warmup=2):
-    """Thread logits->token and cache through iterations so device work
-    forms a dependency chain (otherwise only dispatch is measured)."""
+ROUNDTRIP = 0.0252  # tunnel scalar-fetch latency, s (see bench_decode_kernel)
+
+
+def timeit_loop(step_fn, params, token, pos, cache, iters=32):
+    """Time ``iters`` chained decode steps as ONE in-graph fori_loop
+    dispatch (the same harness bench.py's breakdown uses).
+
+    Two hard-won rules for the tunneled backend: (a)
+    ``block_until_ready`` returns at enqueue, not completion (measured
+    0.17 ms for a 15 ms step) — the only reliable sync is fetching a
+    value to the host; (b) buffer donation is not honored, so a
+    Python-level chained loop piles up one un-donated multi-GB cache copy
+    per in-flight step and deadlocks the allocator — the in-graph loop
+    keeps exactly one copy regardless of iters."""
     import jax
     import jax.numpy as jnp
 
-    def run(n, token, cache):
-        for _ in range(n):
-            logits, cache = fn(params, token, pos, cache)
-            token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        jax.block_until_ready((token, cache))
-        return token, cache
+    @jax.jit
+    def loop(p, tok, cache):
+        def body(k, carry):
+            tok, cache = carry
+            logits, cache = step_fn(p, tok, pos + k, cache)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
-    t, c = run(warmup, token, cache)
+        tok, cache = jax.lax.fori_loop(0, iters, body, (tok, cache))
+        return tok
+
+    np.asarray(loop(params, token, cache)[0])  # compile + warmup, synced
     t0 = time.perf_counter()
-    run(iters, t, c)
-    return (time.perf_counter() - t0) / iters
+    np.asarray(loop(params, token, cache)[0])  # host fetch = true sync
+    return (time.perf_counter() - t0 - ROUNDTRIP) / iters
 
 
 def main():
@@ -83,15 +97,11 @@ def main():
     token = jnp.full((BATCH,), 1000, jnp.int32)
     pos = jnp.asarray(PROMPT_LEN + 112, jnp.int32)  # mid-decode position
 
-    def step(params, token, pos, cache):
-        return decode_step(params, cfg, token, pos, cache, compute)
-
-    t_undonated = timeit_chained(jax.jit(step), params, token, pos, cache)
-    t_donated = timeit_chained(
-        jax.jit(step, donate_argnums=(3,)), params, token, pos, cache
+    t_full = timeit_loop(
+        lambda p, tok, pos, cache: decode_step(p, cfg, tok, pos, cache, compute),
+        params, token, pos, cache,
     )
-    print(f"step undonated : {t_undonated*1e3:8.3f} ms")
-    print(f"step donated   : {t_donated*1e3:8.3f} ms")
+    print(f"full step    : {t_full*1e3:8.3f} ms", flush=True)
 
     # ablations: patch out pieces by calling internals directly
     from whisper_burn_tpu.models import decoder as D
@@ -179,10 +189,14 @@ def main():
     ]:
         D._decode_step_flash = make_ablated(**kw)
         try:
-            t = timeit_chained(
-                jax.jit(step, donate_argnums=(3,)), params, token, pos, cache
+            t = timeit_loop(
+                lambda p, tok, pos, cache: decode_step(p, cfg, tok, pos, cache, compute),
+                params, token, pos, cache,
             )
-            print(f"{name}: {t*1e3:8.3f} ms  (delta {(t_donated-t)*1e3:+7.3f})")
+            print(
+                f"{name}: {t*1e3:8.3f} ms  (delta {(t_full-t)*1e3:+7.3f})",
+                flush=True,
+            )
         finally:
             D._decode_step_flash = real_flash
 
