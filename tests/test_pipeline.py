@@ -161,3 +161,61 @@ def test_translate_task(model, tokenizer):
     )
     res = pipe.transcribe(_tone(), language="de")
     assert isinstance(res.text, str)
+
+
+def test_stitch_texts_dedupes_overlap():
+    from whisper_burn_tpu.transcribe import stitch_texts
+
+    assert (
+        stitch_texts(["the quick brown fox jumps", "brown fox jumps over the lazy dog"])
+        == "the quick brown fox jumps over the lazy dog"
+    )
+    # punctuation/case-insensitive matching, original casing preserved
+    assert (
+        stitch_texts(["Hello there, General Kenobi.", "general kenobi you are bold"])
+        == "Hello there, General Kenobi. you are bold"
+    )
+
+
+def test_stitch_texts_boundary_split_word():
+    from whisper_burn_tpu.transcribe import stitch_texts
+
+    # window 1 ends in a fragment of a word cut by the window boundary;
+    # window 2 decodes it whole — the fragment is dropped, nothing dupes
+    assert (
+        stitch_texts(["we ran the transcri", "ran the transcription engine"])
+        == "we ran the transcription engine"
+    )
+
+
+def test_stitch_texts_no_overlap_falls_back_to_join():
+    from whisper_burn_tpu.transcribe import stitch_texts
+
+    assert stitch_texts(["completely different", "texts here"]) == (
+        "completely different texts here"
+    )
+    assert stitch_texts(["", "only second"]) == "only second"
+
+
+def test_transcribe_long_overlapping_windows(pipeline, monkeypatch):
+    """Windows advance by chunk - overlap and cover the full signal."""
+    seen = {}
+    orig = pipeline.transcribe_batch
+
+    def spy(audios, languages=None):
+        seen["n"] = len(audios)
+        seen["lens"] = [len(a) for a in audios]
+        return orig(audios, languages)
+
+    monkeypatch.setattr(pipeline, "transcribe_batch", spy)
+    audio = np.tile(_tone(seconds=1.0), 65).astype(np.float32)
+    res = pipeline.transcribe_long(audio, language="en", overlap_seconds=5.0)
+    assert isinstance(res.text, str)
+    chunk = pipeline.chunk_samples
+    overlap = min(5 * 16000, chunk // 2)  # impl clamps to half a window
+    stride = chunk - overlap
+    import math
+
+    expected = math.ceil((len(audio) - overlap) / stride)
+    assert seen["n"] == expected
+    assert all(l <= chunk for l in seen["lens"])

@@ -94,6 +94,59 @@ def prepare_params(
     return jax.tree_util.tree_map_with_path(cast, params)
 
 
+def _norm_word(w: str) -> str:
+    return w.strip(".,!?;:\"'").lower()
+
+
+def stitch_texts(texts: Sequence[str], min_match: int = 2, max_match: int = 24) -> str:
+    """Merge transcripts of overlapping audio windows into one text.
+
+    Consecutive windows share ``overlap_seconds`` of audio, so the head of
+    each transcript repeats the tail of the previous one. For each join,
+    find the longest ``k`` (``min_match <= k <= max_match``) where the last
+    ``k`` words of the accumulated text equal the first ``k`` words of the
+    next transcript (case/punctuation-insensitive) and drop that duplicated
+    prefix. If no aligned run exists (silence in the overlap, or decode
+    divergence) the texts are joined as-is — never dropping unseen words.
+
+    A word *split* by the previous window's hard cut is decoded whole by
+    the next window; because the split fragment rarely matches, alignment
+    is also attempted with the previous window's final word excluded, and
+    that (likely fragmentary) word is dropped when the next window's
+    overlap region covers it.
+    """
+    out_words: list[str] = []
+    for text in texts:
+        words = text.split()
+        if not out_words:
+            out_words = words
+            continue
+        if not words:
+            continue
+
+        def match_len(base: list[str]) -> int:
+            limit = min(len(base), len(words), max_match)
+            for k in range(limit, min_match - 1, -1):
+                if [_norm_word(w) for w in base[-k:]] == [
+                    _norm_word(w) for w in words[:k]
+                ]:
+                    return k
+            return 0
+
+        k = match_len(out_words)
+        if k:
+            out_words.extend(words[k:])
+            continue
+        # boundary-split word: retry with the (fragmentary) final word of
+        # the previous window removed
+        k = match_len(out_words[:-1])
+        if k:
+            out_words = out_words[:-1] + words[k:]
+        else:
+            out_words.extend(words)
+    return " ".join(out_words).strip()
+
+
 class WhisperPipeline:
     """Stateful convenience wrapper holding params + jit caches.
 
@@ -298,21 +351,35 @@ class WhisperPipeline:
         return out
 
     def transcribe_long(
-        self, audio: AudioBuffer | np.ndarray, language: str | None = "auto"
+        self,
+        audio: AudioBuffer | np.ndarray,
+        language: str | None = "auto",
+        overlap_seconds: float = 5.0,
     ) -> TranscribeResult:
-        """Chunked transcription for arbitrary-length audio: 30 s windows,
-        processed as one data-parallel batch, texts concatenated."""
+        """Chunked transcription for arbitrary-length audio.
+
+        Windows of 30 s with ``overlap_seconds`` of shared audio between
+        consecutive windows, processed as one data-parallel batch, then
+        word-level stitched (:func:`stitch_texts`): a word cut by a window
+        boundary appears whole in the next window, and the duplicated
+        overlap region is deduped by longest word-sequence match. The
+        reference truncates to one window (src/transcribe.rs:49-51);
+        ``overlap_seconds=0`` reproduces the round-2 naive concatenation.
+        """
         samples = self._to_16k(audio)
         n = len(samples)
-        chunks = [
-            samples[i : i + self.chunk_samples]
-            for i in range(0, max(n, 1), self.chunk_samples)
-        ]
+        overlap = min(int(overlap_seconds * 16000), self.chunk_samples // 2)
+        stride = self.chunk_samples - overlap if n > self.chunk_samples else self.chunk_samples
+        starts = list(range(0, max(n - overlap, 1), stride))
+        chunks = [samples[i : i + self.chunk_samples] for i in starts]
         results = self.transcribe_batch(
             [np.asarray(c, np.float32) for c in chunks],
             [language] * len(chunks),
         )
-        text = " ".join(r.text for r in results if r.text).strip()
+        texts = [r.text for r in results]
+        text = stitch_texts(texts) if overlap and len(texts) > 1 else " ".join(
+            t for t in texts if t
+        ).strip()
         return TranscribeResult(
             text=text,
             inference_ms=sum(r.inference_ms for r in results),
