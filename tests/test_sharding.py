@@ -239,3 +239,65 @@ def test_dryrun_multichip_entry():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+class TestReplicationGuard:
+    """parallel/guard.py: the debug-mode model-axis replication check
+    (VERDICT r2 weak #2 / item 9). The healthy path reports zero mismatch;
+    a deliberately-dropped row-parallel psum makes the guard raise."""
+
+    CFG16 = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+
+    def _inputs(self, b=8, seed=1):
+        rng = np.random.default_rng(seed)
+        mel = rng.standard_normal(
+            (b, self.CFG16.n_mels, self.CFG16.n_audio_ctx * 2)
+        ).astype(np.float32)
+        lang = np.full((b,), self.CFG16.lang_token_start, np.int32)
+        return jnp.asarray(mel), jnp.asarray(lang)
+
+    def test_guard_passes_on_healthy_decode(self):
+        from whisper_burn_tpu.parallel import sharded_greedy_decode, shard_params_tp
+
+        params = random_params(self.CFG16, seed=0, quantized=True)
+        mesh = make_mesh(data=4, model=2)
+        mel, lang = self._inputs()
+        res = sharded_greedy_decode(
+            shard_params_tp(params, mesh), self.CFG16, mel, lang,
+            COMPUTE, mesh, max_tokens=6, debug_replication=True,
+        )
+        oracle = greedy_decode(
+            params, self.CFG16, mel, lang, COMPUTE, max_tokens=6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(oracle.tokens), np.asarray(res.tokens)
+        )
+
+    def test_guard_fires_on_dropped_psum(self, monkeypatch):
+        """Simulate the bug the guard exists for: a future edit losing the
+        cross-shard reduction in a row-parallel projection."""
+        import whisper_burn_tpu.models.decoder as decoder_mod
+        import whisper_burn_tpu.models.encoder as encoder_mod
+        from whisper_burn_tpu.ops import apply_linear
+        from whisper_burn_tpu.parallel import sharded_greedy_decode, shard_params_tp
+        from whisper_burn_tpu.parallel.guard import ReplicationError
+        from whisper_burn_tpu.parallel.sharded import _build
+
+        params = random_params(self.CFG16, seed=0, quantized=True)
+        mesh = make_mesh(data=4, model=2)
+        mel, lang = self._inputs()
+
+        def no_psum(p, x, compute):  # apply_reduce_linear minus the psum
+            return apply_linear(p, x, compute)
+
+        monkeypatch.setattr(decoder_mod, "apply_reduce_linear", no_psum)
+        monkeypatch.setattr(encoder_mod, "apply_reduce_linear", no_psum)
+        _build.cache_clear()  # don't reuse the healthy compiled program
+        try:
+            with pytest.raises(ReplicationError):
+                sharded_greedy_decode(
+                    shard_params_tp(params, mesh), self.CFG16, mel, lang,
+                    COMPUTE, mesh, max_tokens=6, debug_replication=True,
+                )
+        finally:
+            _build.cache_clear()  # drop the poisoned program

@@ -83,19 +83,25 @@ def sharded_greedy_decode(
     detect: bool = False,
     max_tokens: int = MAX_TOKENS,
     task: str = "transcribe",
+    debug_replication: bool = False,
 ):
     """DP x TP greedy decode. ``mel: [B, n_mels, T]`` with B divisible by
     the data axis; params laid out per :func:`shard_params_tp`.
 
     Returns a :class:`~whisper_burn_tpu.models.whisper.GreedyResult` whose
     arrays are batch-sharded over ``data`` (replicated over ``model``).
+
+    ``debug_replication=True`` verifies the model-axis replication claim
+    in-graph (parallel/guard.py) and raises :class:`ReplicationError` if
+    any output leaf diverges across model shards — the loud failure mode
+    for a dropped psum that ``check_vma=False`` would otherwise hide.
     """
     fn = _build(
         cfg, compute, mesh,
         beam_width=1, detect=detect, max_tokens=max_tokens, task=task,
-        length_penalty=1.0,
+        length_penalty=1.0, debug_replication=debug_replication,
     )
-    return fn(params, mel, lang_tokens)
+    return _run_guarded(fn, params, mel, lang_tokens, debug_replication)
 
 
 def sharded_beam_decode(
@@ -111,6 +117,7 @@ def sharded_beam_decode(
     max_tokens: int = MAX_TOKENS,
     length_penalty: float = 1.0,
     task: str = "transcribe",
+    debug_replication: bool = False,
 ):
     """DP x TP beam decode — beams stay colocated with their utterance's
     data shard, so hypothesis reordering is shard-local (models/beam.py)."""
@@ -118,8 +125,23 @@ def sharded_beam_decode(
         cfg, compute, mesh,
         beam_width=beam_width, detect=detect, max_tokens=max_tokens,
         task=task, length_penalty=length_penalty,
+        debug_replication=debug_replication,
     )
-    return fn(params, mel, lang_tokens)
+    return _run_guarded(fn, params, mel, lang_tokens, debug_replication)
+
+
+def _run_guarded(fn, params, mel, lang_tokens, debug_replication: bool):
+    if not debug_replication:
+        return fn(params, mel, lang_tokens)
+    from whisper_burn_tpu.parallel.guard import ReplicationError
+
+    result, mismatch = fn(params, mel, lang_tokens)
+    if int(mismatch):
+        raise ReplicationError(
+            f"shard_map outputs diverged across model shards: {int(mismatch)} "
+            "mismatching elements (a row-parallel psum is missing or broken)"
+        )
+    return result
 
 
 @functools.lru_cache(maxsize=32)
@@ -133,12 +155,14 @@ def _build(
     max_tokens: int,
     task: str,
     length_penalty: float,
+    debug_replication: bool = False,
 ):
     """Compiled shard_map decode program (cached per static signature)."""
     validate_tp(cfg, mesh)
     local = _tp_compute(compute, mesh)
+    model_size = mesh.shape.get("model", 1)
 
-    def body(p, mel_l, lang_l):
+    def decode_body(p, mel_l, lang_l):
         if beam_width > 1:
             return beam_decode(
                 p, cfg, mel_l, lang_l, local,
@@ -150,6 +174,18 @@ def _build(
             detect=detect, max_tokens=max_tokens, task=task,
         )
 
+    if debug_replication and model_size > 1:
+        from whisper_burn_tpu.parallel.guard import replication_mismatch
+
+        def body(p, mel_l, lang_l):
+            result = decode_body(p, mel_l, lang_l)
+            return result, replication_mismatch(result, "model", model_size)
+
+        out_specs = (P("data"), P())
+    else:
+        body = decode_body
+        out_specs = P("data")
+
     def run(params, mel, lang_tokens):
         pspecs = param_pspecs(params)
         mapped = jax.shard_map(
@@ -159,11 +195,17 @@ def _build(
             # every result leaf is batch-major and model-replicated (the
             # psums make all model shards compute identical logits/tokens);
             # vma inference can't see that through the while_loop, so it is
-            # disabled and replication asserted by the token-equality tests
-            out_specs=P("data"),
+            # disabled; replication is asserted by the token-equality tests
+            # and, under debug_replication, verified in-graph per call
+            out_specs=out_specs,
             check_vma=False,
         )
-        return mapped(params, mel, lang_tokens)
+        out = mapped(params, mel, lang_tokens)
+        if debug_replication and model_size == 1:
+            import jax.numpy as jnp
+
+            return out, jnp.zeros((), jnp.int32)  # tp=1: trivially replicated
+        return out
 
     return jax.jit(run)
 
