@@ -18,10 +18,12 @@ Two surfaces:
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import queue
 import threading
+import time
 import wave
 from dataclasses import dataclass, field
 
@@ -35,6 +37,72 @@ class ServerOverloadedError(RuntimeError):
     """The pending-request queue is full (HTTP 503)."""
 
 
+class ServingStats:
+    """Request-latency and throughput counters (thread-safe).
+
+    The reference's only serving metric is per-utterance ``inference_ms``
+    (src/transcribe.rs:84-92); this tracks the full queue+device latency
+    distribution per request plus batch occupancy — what a load balancer
+    actually needs.
+    """
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self._latencies: collections.deque[float] = collections.deque(maxlen=window)
+        self.completed = 0
+        self.failed = 0
+        self.rejected = 0
+        self.batches = 0
+        self.batched_requests = 0  # sum of real (unpadded) batch occupancy
+        self._t0 = time.perf_counter()
+
+    def record_batch(self, n_requests: int) -> None:
+        with self._lock:
+            self.batches += 1
+            self.batched_requests += n_requests
+
+    def record_done(self, latency_s: float, ok: bool) -> None:
+        with self._lock:
+            self._latencies.append(latency_s)
+            if ok:
+                self.completed += 1
+            else:
+                self.failed += 1
+
+    def record_rejected(self) -> None:
+        with self._lock:
+            self.rejected += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lats = sorted(self._latencies)
+            elapsed = max(time.perf_counter() - self._t0, 1e-9)
+
+            def pct(p: float) -> float:
+                if not lats:
+                    return 0.0
+                return lats[min(len(lats) - 1, int(p * (len(lats) - 1) + 0.5))]
+
+            return {
+                "completed": self.completed,
+                "failed": self.failed,
+                "rejected": self.rejected,
+                "requests_per_s": round(self.completed / elapsed, 3),
+                "latency_ms": {
+                    "p50": round(pct(0.50) * 1e3, 2),
+                    "p90": round(pct(0.90) * 1e3, 2),
+                    "p99": round(pct(0.99) * 1e3, 2),
+                    "max": round((lats[-1] if lats else 0.0) * 1e3, 2),
+                },
+                "batches": self.batches,
+                "mean_batch_fill": round(
+                    self.batched_requests / self.batches, 3
+                )
+                if self.batches
+                else 0.0,
+            }
+
+
 @dataclass
 class _Request:
     audio: AudioBuffer | np.ndarray
@@ -42,6 +110,7 @@ class _Request:
     event: threading.Event = field(default_factory=threading.Event)
     result: TranscribeResult | None = None
     error: Exception | None = None
+    submitted_at: float = field(default_factory=time.perf_counter)
 
     def wait(self, timeout: float | None = None) -> TranscribeResult:
         if not self.event.wait(timeout):
@@ -74,6 +143,7 @@ class BatchingTranscriber:
         self.pipeline = pipeline
         self.batch_size = batch_size
         self.max_wait_ms = max_wait_ms
+        self.stats = ServingStats()
         self._queue: queue.Queue[_Request | None] = queue.Queue(maxsize=max_pending)
         self._accepting = True
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -88,6 +158,7 @@ class BatchingTranscriber:
         try:
             self._queue.put_nowait(req)
         except queue.Full:
+            self.stats.record_rejected()
             raise ServerOverloadedError(
                 f"pending queue full ({self._queue.maxsize} requests)"
             ) from None
@@ -96,12 +167,14 @@ class BatchingTranscriber:
     def transcribe(self, audio, language="auto", timeout=None) -> TranscribeResult:
         return self.submit(audio, language).wait(timeout)
 
-    def shutdown(self, timeout: float = 30.0) -> None:
+    def shutdown(self, timeout: float = 30.0) -> dict:
         """Stop accepting, drain everything already queued, then join —
-        in-flight requests still get their results."""
+        in-flight requests still get their results. Returns the final
+        stats snapshot (the shutdown report)."""
         self._accepting = False
         self._queue.put(None)  # sentinel lands after all accepted requests
         self._worker.join(timeout=timeout)
+        return self.stats.snapshot()
 
     # -- worker ------------------------------------------------------------
 
@@ -134,14 +207,19 @@ class BatchingTranscriber:
             while len(audios) < self.batch_size:
                 audios.append(silence)
                 langs.append("en")
+            self.stats.record_batch(len(batch))
             try:
                 results = self.pipeline.transcribe_batch(audios, langs)
+                now = time.perf_counter()
                 for req, res in zip(batch, results):
                     req.result = res
+                    self.stats.record_done(now - req.submitted_at, ok=True)
                     req.event.set()
             except Exception as e:  # propagate to all waiters
+                now = time.perf_counter()
                 for req in batch:
                     req.error = e
+                    self.stats.record_done(now - req.submitted_at, ok=False)
                     req.event.set()
 
 
@@ -176,13 +254,16 @@ def serve_http(
         def do_GET(self):
             if self.path == "/healthz":
                 body = b'{"status":"ok"}'
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+            elif self.path == "/stats":
+                body = json.dumps(transcriber.stats.snapshot()).encode()
             else:
                 self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def _reply(self, status: int, payload: dict):
             body = json.dumps(payload).encode()
