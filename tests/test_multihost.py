@@ -26,7 +26,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_decode():
+@pytest.mark.parametrize("mode", ["dp_xla", "prod_tp_pallas"])
+def test_two_process_distributed_decode(mode):
+    """``dp_xla``: round-2 DP-only config. ``prod_tp_pallas``: the serving
+    configuration — (data=2, model=2) with the model axis across the two
+    processes, Pallas kernels, fused QKV, quantized KV caches, replication
+    guard on — so every TP psum crosses a real process boundary
+    (VERDICT r2 item 4)."""
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ)
@@ -36,7 +42,7 @@ def test_two_process_distributed_decode():
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(_WORKER), coordinator, "2", str(i)],
+            [sys.executable, str(_WORKER), coordinator, "2", str(i), mode],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
