@@ -238,6 +238,88 @@ def _cmd_app(args: argparse.Namespace) -> int:
     return run_terminal(args)
 
 
+def _cmd_parity(args: argparse.Namespace) -> int:
+    """Real-weights readiness harness (VERDICT r2 item 5).
+
+    One command: resolve weights (path or download) -> transcribe the
+    reference fixture (`/root/reference/test.wav`, src/transcribe.rs:34-107)
+    with parity numerics -> diff tokens against a recorded expected
+    sequence -> optional WER manifest run. Degrades gracefully: missing
+    weights or no network is SKIP (exit 0), a token mismatch is FAIL
+    (exit 1). ``--record`` writes the expected file from the current run
+    (do this once on a machine that has the real checkpoint).
+    """
+    import os
+
+    model_path, tokenizer_path = args.model, args.tokenizer
+    if model_path is None:
+        try:
+            from whisper_burn_tpu.download import download_model
+
+            model_path, tokenizer_path = download_model(
+                args.variant, args.models_dir
+            )
+        except Exception as e:
+            print(f"SKIP: no --model and download unavailable ({e})")
+            return 0
+    if not os.path.exists(model_path):
+        print(f"SKIP: model not found at {model_path}")
+        return 0
+
+    pipe = build_pipeline(str(model_path), tokenizer_path and str(tokenizer_path), args)
+    from whisper_burn_tpu.audio.io import load_wav
+
+    audio = load_wav(args.audio)
+    result = pipe.transcribe(audio, language=args.language)
+    tokens = [int(t) for t in result.tokens]
+    print(f"transcribed {args.audio}: {len(tokens)} tokens, "
+          f"{result.inference_ms:.0f} ms\n  text: {result.text!r}")
+
+    if args.record:
+        payload = {
+            "audio": str(args.audio),
+            "language": args.language,
+            "tokens": tokens,
+            "text": result.text,
+        }
+        with open(args.expected, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"recorded expected sequence -> {args.expected}")
+        return 0
+
+    status = 0
+    if not os.path.exists(args.expected):
+        print(f"NO-BASELINE: {args.expected} not recorded yet (use --record "
+              "once on a machine with the real checkpoint)")
+    else:
+        with open(args.expected) as f:
+            expected = json.load(f)
+        if expected["tokens"] == tokens:
+            print(f"PASS: token-exact match ({len(tokens)} tokens)")
+        else:
+            exp = expected["tokens"]
+            diverge = next(
+                (i for i, (a, b) in enumerate(zip(exp, tokens)) if a != b),
+                min(len(exp), len(tokens)),
+            )
+            print(f"FAIL: tokens diverge at position {diverge} "
+                  f"(expected {len(exp)} tokens, got {len(tokens)})")
+            status = 1
+
+    if args.manifest:
+        from whisper_burn_tpu.eval.runner import evaluate_manifest
+
+        summary = evaluate_manifest(
+            pipe, args.manifest, batch_size=args.batch, language=args.language
+        )
+        print(json.dumps({"n": summary.n_utterances, "wer": round(summary.wer, 4),
+                          "rtf": round(summary.rtf, 2)}))
+        if args.wer_max is not None and summary.wer > args.wer_max:
+            print(f"FAIL: WER {summary.wer:.4f} > --wer-max {args.wer_max}")
+            status = 1
+    return status
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="whisper_burn_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -320,6 +402,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--beam", type=int, default=1)
     ap.add_argument("--max-tokens", type=int, default=224)
     ap.set_defaults(fn=_cmd_app)
+
+    pr = sub.add_parser(
+        "parity", help="real-weights token-parity harness (skips if offline)"
+    )
+    pr.add_argument("--model", default=None, help="GGUF path (else download)")
+    pr.add_argument("--tokenizer", default=None)
+    pr.add_argument("--variant", default="large-v3",
+                    choices=["medium", "large-v3", "large-v3-turbo"])
+    pr.add_argument("--models-dir", default="models")
+    pr.add_argument("--audio", default="/root/reference/test.wav")
+    pr.add_argument("--language", default="en")
+    pr.add_argument("--expected", default="tests/data/parity_expected.json")
+    pr.add_argument("--record", action="store_true",
+                    help="write the expected token sequence from this run")
+    pr.add_argument("--manifest", default=None, help="JSONL manifest for WER")
+    pr.add_argument("--wer-max", type=float, default=None)
+    pr.add_argument("--batch", type=int, default=8)
+    pr.add_argument("--max-tokens", type=int, default=224)
+    pr.set_defaults(fn=_cmd_parity, frontend="openai", bf16=False, beam=1)
 
     cf = sub.add_parser("config", help="show or persist CLI defaults")
     cf.add_argument("--set", nargs="*", metavar="KEY=VALUE", default=[])
