@@ -1,37 +1,43 @@
 """Ablation timing of the decode step: locate per-step overhead vs SoL.
 
-Times the single decode step (a) undonated, (b) with donated cache, and
-(c) component ablations (no self-attn kernel / no cross-attn kernel / no
-FFN+matmuls) to attribute the gap between measured step time and the HBM
-speed-of-light bound.
+Times ``iters`` chained decode steps as one in-graph ``fori_loop``
+dispatch (full step, then component ablations: no self-attn kernel / no
+cross-attn kernel / no FFN+matmuls) to attribute the gap between the
+measured step time and the HBM speed-of-light bound.
+
+Sync model (one rule across every harness, ADVICE r2): chain iterations
+through a data dependency, fetch one host value at the end, and subtract
+the dispatch+fetch roundtrip MEASURED AT RUNTIME (scripts/roofline.py's
+probe) — never a hardcoded constant. Elapsed times at or below the
+roundtrip raise instead of going negative.
 """
 
 from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 KV = os.environ.get("BENCH_KV", "int4")
 
 
-ROUNDTRIP = 0.0252  # tunnel scalar-fetch latency, s (see bench_decode_kernel)
+ROUNDTRIP = None  # measured in main() via roofline.measure_roundtrip
 
 
 def timeit_loop(step_fn, params, token, pos, cache, iters=32):
     """Time ``iters`` chained decode steps as ONE in-graph fori_loop
     dispatch (the same harness bench.py's breakdown uses).
 
-    Two hard-won rules for the tunneled backend: (a)
-    ``block_until_ready`` returns at enqueue, not completion (measured
-    0.17 ms for a 15 ms step) — the only reliable sync is fetching a
-    value to the host; (b) buffer donation is not honored, so a
-    Python-level chained loop piles up one un-donated multi-GB cache copy
-    per in-flight step and deadlocks the allocator — the in-graph loop
-    keeps exactly one copy regardless of iters."""
+    The in-graph loop matters on this backend: buffer donation is not
+    honored across a Python-level chained loop, which piles up one
+    un-donated multi-GB cache copy per in-flight step and deadlocks the
+    allocator — the fori_loop keeps exactly one copy regardless of iters."""
     import jax
     import jax.numpy as jnp
 
@@ -48,12 +54,22 @@ def timeit_loop(step_fn, params, token, pos, cache, iters=32):
     np.asarray(loop(params, token, cache)[0])  # compile + warmup, synced
     t0 = time.perf_counter()
     np.asarray(loop(params, token, cache)[0])  # host fetch = true sync
-    return (time.perf_counter() - t0 - ROUNDTRIP) / iters
+    elapsed = time.perf_counter() - t0 - ROUNDTRIP
+    if elapsed <= 0:
+        raise RuntimeError(
+            f"elapsed {elapsed + ROUNDTRIP:.6f}s <= measured roundtrip "
+            f"{ROUNDTRIP:.6f}s — increase iters"
+        )
+    return elapsed / iters
 
 
 def main():
+    global ROUNDTRIP
+
     import jax
     import jax.numpy as jnp
+
+    from roofline import measure_roundtrip
 
     from whisper_burn_tpu.models import WhisperConfig
     from whisper_burn_tpu.models.decoder import decode_step, init_cache
@@ -63,6 +79,8 @@ def main():
     from whisper_burn_tpu.transcribe import enable_compilation_cache, prepare_params
 
     enable_compilation_cache()
+    ROUNDTRIP = measure_roundtrip()
+    print(f"measured sync roundtrip: {ROUNDTRIP*1e3:.2f} ms", flush=True)
     cfg = WhisperConfig.large_v3()
     compute = {
         "bf16": Compute.fast(),

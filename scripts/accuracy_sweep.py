@@ -44,7 +44,7 @@ import jax.numpy as jnp
 
 from whisper_burn_tpu.eval.quant_accuracy import compare_variant, reference_run
 from whisper_burn_tpu.models import WhisperConfig
-from whisper_burn_tpu.models.params import random_params
+from whisper_burn_tpu.models.params import random_params, structured_params
 from whisper_burn_tpu.ops import Compute
 from whisper_burn_tpu.ops.compute import KernelBackend
 
@@ -79,7 +79,8 @@ def run_sweep(
     ref_compute = Compute.parity().replace(backend=KernelBackend.XLA)
 
     acc: dict[str, list] = {k: [] for k in variants}
-    acc["weight_q4"] = []  # diagnostic: q4@f32 vs f32@f32
+    acc["weight_q4"] = []  # diagnostic: q4@f32 vs f32@f32, iid weights
+    acc["weight_q4_struct"] = []  # floored: same axis on the peaked fixture
     for seed in range(seeds):
         t0 = time.time()
         # matched f32/Q4 pairs: same rng stream -> identical float weights
@@ -123,6 +124,22 @@ def run_sweep(
         del params_f32, params_q4
         import gc
 
+        gc.collect()
+
+        # weight axis, measurable: the structured fixture's peaked logit
+        # surface (models/params.structured_params) makes argmax agreement
+        # reflect weight quantization, not tie-breaking (VERDICT r2 item 6)
+        params_f32s = structured_params(cfg, seed=seed, quantized=False)
+        params_q4s = structured_params(cfg, seed=seed, quantized=True)
+        refs_tokens, refs_lg, refs_valid = reference_run(
+            params_f32s, cfg, mel, langs, ref_compute, steps
+        )
+        row = compare_variant(
+            refs_lg, refs_valid, params_q4s, cfg, mel, langs, refs_tokens,
+            ref_compute, steps,
+        )
+        acc["weight_q4_struct"].append(dict(seed=seed, **row))
+        del params_f32s, params_q4s
         gc.collect()
 
         print(
@@ -186,7 +203,8 @@ def write_outputs(result: dict, out: str) -> None:
         "q4_bf16": ("q4 @ f32", "bf16", "bf16"),
         "q4_int8kv": ("q4 @ f32", "bf16", "int8 self + int8 cross"),
         "q4_int4kv": ("q4 @ f32", "bf16", "int8 self + int4 cross (bench default)"),
-        "weight_q4": ("f32 weights", "f32", "f32"),
+        "weight_q4": ("f32 weights (iid)", "f32", "f32"),
+        "weight_q4_struct": ("f32 weights (peaked fixture)", "f32", "f32"),
     }
     for name, s in result["variants"].items():
         ref, c, kv = meta.get(name, ("?", "?", "?"))

@@ -78,25 +78,29 @@ def _rand_ln(rng: np.random.Generator, d: int) -> Params:
 
 
 def _rand_block(
-    rng: np.random.Generator, d: int, f: int, *, cross: bool, quantized: bool
+    rng: np.random.Generator, d: int, f: int, *, cross: bool, quantized: bool,
+    scale: float = 0.05,
 ) -> Params:
+    lin = lambda k, n, bias: _rand_linear(
+        rng, k, n, quantized=quantized, bias=bias, scale=scale
+    )
     p = {
         "attn_ln": _rand_ln(rng, d),
-        "attn_q": _rand_linear(rng, d, d, quantized=quantized, bias=True),
-        "attn_k": _rand_linear(rng, d, d, quantized=quantized, bias=False),
-        "attn_v": _rand_linear(rng, d, d, quantized=quantized, bias=True),
-        "attn_o": _rand_linear(rng, d, d, quantized=quantized, bias=True),
+        "attn_q": lin(d, d, True),
+        "attn_k": lin(d, d, False),
+        "attn_v": lin(d, d, True),
+        "attn_o": lin(d, d, True),
         "mlp_ln": _rand_ln(rng, d),
-        "fc1": _rand_linear(rng, d, f, quantized=quantized, bias=True),
-        "fc2": _rand_linear(rng, f, d, quantized=quantized, bias=True),
+        "fc1": lin(d, f, True),
+        "fc2": lin(f, d, True),
     }
     if cross:
         p.update(
             xattn_ln=_rand_ln(rng, d),
-            xattn_q=_rand_linear(rng, d, d, quantized=quantized, bias=True),
-            xattn_k=_rand_linear(rng, d, d, quantized=quantized, bias=False),
-            xattn_v=_rand_linear(rng, d, d, quantized=quantized, bias=True),
-            xattn_o=_rand_linear(rng, d, d, quantized=quantized, bias=True),
+            xattn_q=lin(d, d, True),
+            xattn_k=lin(d, d, False),
+            xattn_v=lin(d, d, True),
+            xattn_o=lin(d, d, True),
         )
     return p
 
@@ -128,6 +132,71 @@ def random_params(
 
     tok_emb = np.zeros((cfg.n_vocab_padded, d), dtype=np.float32)
     tok_emb[: cfg.n_vocab] = rng.standard_normal((cfg.n_vocab, d)).astype(np.float32) * 0.02
+
+    return {
+        "encoder": {
+            "conv1": {
+                "w": rng.standard_normal((d, cfg.n_mels, 3)).astype(np.float32) * 0.05,
+                "b": np.zeros(d, np.float32),
+            },
+            "conv2": {
+                "w": rng.standard_normal((d, d, 3)).astype(np.float32) * 0.02,
+                "b": np.zeros(d, np.float32),
+            },
+            "pos": sinusoidal_positions(cfg.n_audio_ctx, d),
+            "blocks": stack_layers(enc_blocks),
+            "ln_post": _rand_ln(rng, d),
+        },
+        "decoder": {
+            "tok_emb": tok_emb,
+            "pos": rng.standard_normal((cfg.n_text_ctx, d)).astype(np.float32) * 0.01,
+            "blocks": stack_layers(dec_blocks),
+            "ln": _rand_ln(rng, d),
+        },
+    }
+
+
+def structured_params(
+    cfg: WhisperConfig, seed: int = 0, *, quantized: bool = True, v_eff: int = 1024
+) -> Params:
+    """Accuracy-fixture params with a PEAKED logit surface (VERDICT r2 item 6).
+
+    :func:`random_params`' i.i.d. weights at a 51k vocab produce a nearly
+    flat logit surface — argmax agreement under weight quantization is
+    tie-breaking noise (ACCURACY.md's unfloored ``weight_q4`` row). Two
+    structural changes make the weight-quantization axis measurable:
+
+    * block weights scale ~1/sqrt(L): the residual stream stays O(1) like
+      a trained net, so Q4 error propagates additively instead of being
+      amplified multiplicatively through 32 random layers;
+    * the token embedding concentrates mass in the first ``v_eff`` rows
+      (anchors at ~20x the tail norm): logits are peaked over an effective
+      vocabulary, so only *meaningful* drift flips an argmax.
+
+    ``quantized`` selects the member of a matched f32/Q4 pair (same rng
+    stream -> identical float weights, like :func:`random_params`).
+    """
+    rng = np.random.default_rng(seed)
+    d, f = cfg.n_audio_state, cfg.ffn_dim
+    depth = max(cfg.n_audio_layer, cfg.n_text_layer)
+    scale = 0.05 / float(np.sqrt(depth))
+
+    enc_blocks = [
+        _rand_block(rng, d, f, cross=False, quantized=quantized, scale=scale)
+        for _ in range(cfg.n_audio_layer)
+    ]
+    dec_blocks = [
+        _rand_block(rng, d, f, cross=True, quantized=quantized, scale=scale)
+        for _ in range(cfg.n_text_layer)
+    ]
+
+    v_eff = min(v_eff, cfg.n_vocab)
+    tok_emb = np.zeros((cfg.n_vocab_padded, d), dtype=np.float32)
+    tok_emb[: cfg.n_vocab] = (
+        rng.standard_normal((cfg.n_vocab, d)).astype(np.float32) * 0.002
+    )
+    # anchor rows: a clear, well-separated winner set for the logit argmax
+    tok_emb[:v_eff] *= 20.0
 
     return {
         "encoder": {
