@@ -73,6 +73,8 @@ def main() -> None:
         "int8": Compute.fastest(),
         "int4": Compute.fastest(kv_bits=4),
     }[kv]
+    if os.environ.get("BENCH_LOGITS", "bf16") == "int8":
+        compute = compute.replace(quantized_logits=True)
     params = prepare_params(fabricated_quantized_params(cfg, seed=0), compute)
     mel_frontend = MelFrontend(n_mels=cfg.n_mels, norm="slaney")
 
@@ -186,7 +188,10 @@ def _roofline_accounting(cfg, compute, batch: int, breakdown: dict) -> dict:
         self_kv = 2 * batch * ctx * d * 2 * nl
     cross_mult = 1 if compute.kv_packed else (2 if compute.quantized_kv else 4)
     cross_kv = batch * t_cross * d * cross_mult * nl
-    logits = cfg.n_vocab_padded * d * 2
+    if compute.quantized_logits:
+        logits = cfg.n_vocab_padded * d + cfg.n_vocab_padded * d // 32 * 4
+    else:
+        logits = cfg.n_vocab_padded * d * 2
     total = weights + scales + self_kv + cross_kv + logits
     per_tok_s = breakdown.get("decode_per_token_us", 0.0) * 1e-6
     return {

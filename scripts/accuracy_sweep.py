@@ -75,6 +75,9 @@ def run_sweep(
         "q4_bf16": Compute.fast().replace(backend=kb),
         "q4_int8kv": Compute.fastest(kv_bits=8).replace(backend=kb),
         "q4_int4kv": Compute.fastest(kv_bits=4).replace(backend=kb),
+        "q4_int4kv_q8log": Compute.fastest(kv_bits=4).replace(
+            backend=kb, quantized_logits=True
+        ),
     }
     ref_compute = Compute.parity().replace(backend=KernelBackend.XLA)
 
@@ -102,9 +105,21 @@ def run_sweep(
         refq_tokens, refq_lg, refq_valid = reference_run(
             params_q4, cfg, mel, langs, ref_compute, steps
         )
+        from whisper_burn_tpu.transcribe import quantize_logit_embedding
+
+        params_q4_qlog = {
+            **params_q4,
+            "decoder": {
+                **params_q4["decoder"],
+                "tok_emb_q": quantize_logit_embedding(
+                    params_q4["decoder"]["tok_emb"]
+                ),
+            },
+        }
         for name, comp in variants.items():
+            p = params_q4_qlog if comp.quantized_logits else params_q4
             row = compare_variant(
-                refq_lg, refq_valid, params_q4, cfg, mel, langs, refq_tokens,
+                refq_lg, refq_valid, p, cfg, mel, langs, refq_tokens,
                 comp, steps,
             )
             acc[name].append(dict(seed=seed, **row))
@@ -117,6 +132,7 @@ def run_sweep(
             ref_lg, valid, params_q4, cfg, mel, langs, ref_tokens,
             ref_compute, steps,
         )
+        del params_q4_qlog
         acc["weight_q4"].append(dict(seed=seed, **row))
         # each seed materializes ~8 GB of host arrays (f32 + Q4 params);
         # free them before the next seed or the host OOM-kills around
@@ -203,6 +219,7 @@ def write_outputs(result: dict, out: str) -> None:
         "q4_bf16": ("q4 @ f32", "bf16", "bf16"),
         "q4_int8kv": ("q4 @ f32", "bf16", "int8 self + int8 cross"),
         "q4_int4kv": ("q4 @ f32", "bf16", "int8 self + int4 cross (bench default)"),
+        "q4_int4kv_q8log": ("q4 @ f32", "bf16 + int8 logits", "int8 self + int4 cross"),
         "weight_q4": ("f32 weights (iid)", "f32", "f32"),
         "weight_q4_struct": ("f32 weights (peaked fixture)", "f32", "f32"),
     }

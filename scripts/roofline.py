@@ -4,13 +4,20 @@ Measures each decode-path component in isolation at the bench shapes
 (B=64, Large-V3, int4 cross-KV / int8 self-KV serving config) and reports
 achieved HBM bandwidth vs the ~819 GB/s v5e roofline.
 
-Sync model (one rule for every harness, ADVICE r2 medium): chain iterations
-through a data dependency, then fetch ONE host scalar; the tunnel roundtrip
-is measured at runtime (repeated scalar fetch of a ready array), never a
-hardcoded constant, and elapsed times are clamped+flagged if they dip under
-the roundtrip.
+Timing rules for the tunneled backend (one set of rules for EVERY harness
+in this repo — bench.py, ablate_step.py, this file; ADVICE r2):
 
-Usage: python scripts/roofline.py [--json out.json]
+* everything under test lives in ONE jit program with the iteration loop
+  as an in-graph ``lax.fori_loop`` (eager per-call dispatch re-ships
+  operand buffers through the tunnel — measured ~1.45 s/call with a 1 GB
+  cache operand — and ``block_until_ready`` returns at enqueue);
+* big arrays are passed as explicit jit arguments, never closed over
+  (closure constants stall compilation at these sizes);
+* the only sync is ONE host scalar fetch, and the dispatch+fetch
+  roundtrip is MEASURED AT RUNTIME (never a hardcoded constant);
+  elapsed <= roundtrip raises instead of going negative.
+
+Usage: python scripts/roofline.py [--json out.json] [--only k1,k2]
 """
 
 from __future__ import annotations
@@ -18,9 +25,13 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -29,11 +40,12 @@ HBM_GBPS = 819e9  # v5e HBM bandwidth
 B = 64
 D = 1280
 H = 20
-L = 8  # layers chained per run() call (amortizes fetch); results are /L
+L = 8  # distinct layers in the cache operands (layer index rotates)
 T_CROSS = 1536
 T_SELF = 256
 F = 5120
 VOCAB = 51872
+ITERS = 256
 
 
 def measure_roundtrip(n: int = 12) -> float:
@@ -53,19 +65,18 @@ def measure_roundtrip(n: int = 12) -> float:
 ROUNDTRIP = None  # measured in main()
 
 
-def timeit(run, fetch, state, iters=20):
-    """run: state -> state (device); fetch: state -> scalar. Returns s/iter."""
-    state = run(state)
-    float(fetch(state))  # compile + settle
+def timeit_loop(run, *args, iters=ITERS):
+    """``run(*args)`` = one jitted fori_loop of ``iters`` chained kernel
+    calls returning a small array. Returns seconds per call."""
+    out = run(*args)
+    float(jnp.sum(out))  # compile + settle
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state = run(state)
-    float(fetch(state))
+    out = run(*args)
+    float(jnp.sum(out))
     dt = time.perf_counter() - t0 - ROUNDTRIP
     if dt <= 0:
         raise RuntimeError(
-            f"elapsed {dt + ROUNDTRIP:.6f}s <= roundtrip {ROUNDTRIP:.6f}s — "
-            "increase iters"
+            f"elapsed {dt + ROUNDTRIP:.6f}s <= roundtrip {ROUNDTRIP:.6f}s"
         )
     return dt / iters
 
@@ -76,7 +87,8 @@ def report(label, per_call, bytes_moved, rows):
     pct = 100.0 * sol / per_call
     print(
         f"{label:34s} {per_call*1e6:8.1f} us   SoL {sol*1e6:7.1f} us   "
-        f"{gbps:6.0f} GB/s  ({pct:5.1f}% of roofline)"
+        f"{gbps:6.0f} GB/s  ({pct:5.1f}% of roofline)",
+        flush=True,
     )
     rows.append(
         {
@@ -89,6 +101,26 @@ def report(label, per_call, bytes_moved, rows):
     )
 
 
+def _chain_attn(kernel, T, rows, label, bytes_moved, kT, v, scales=None):
+    """Shared fori_loop harness for the decode-attention kernels."""
+
+    @jax.jit
+    def run(q, kT, v, *sc):
+        def body(k, q):
+            acc, m, lsum = kernel(q, kT, v, k % L, jnp.asarray(T), *sc)
+            return (q + 1e-6 * acc.astype(q.dtype)).astype(q.dtype)
+
+        return jax.lax.fori_loop(0, ITERS, body, q)
+
+    rng = np.random.default_rng(1)
+    q0 = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    sc = (scales,) if scales is not None else ()
+    dt = timeit_loop(run, q0, kT, v, *sc)
+    report(label, dt, bytes_moved, rows)
+
+
 def bench_cross_kt_int4(rows):
     """The dominant stream: int4-packed cross-KV kT kernel, per layer."""
     from whisper_burn_tpu.ops.pallas_attention import decode_attention_kT
@@ -96,20 +128,12 @@ def bench_cross_kt_int4(rows):
     rng = np.random.default_rng(0)
     kT = jnp.asarray(rng.integers(0, 255, (L, B, D // 2, T_CROSS)).astype(np.uint8))
     v = jnp.asarray(rng.integers(0, 255, (L, B, T_CROSS // 2, D)).astype(np.uint8))
-    q0 = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32)).astype(jnp.bfloat16)
-
-    @jax.jit
-    def run(q):
-        for l in range(L):
-            acc, m, lsum = decode_attention_kT(
-                q, kT, v, jnp.asarray(l), jnp.asarray(T_CROSS), H
-            )
-            q = (q + 1e-6 * acc.astype(q.dtype)).astype(q.dtype)
-        return q
-
-    dt = timeit(run, lambda q: jnp.sum(q), q0) / L
     bytes_moved = B * (D // 2 * T_CROSS + T_CROSS // 2 * D)
-    report("cross kT int4  T=1536 /layer", dt, bytes_moved, rows)
+
+    def kernel(q, kT, v, l, t):
+        return decode_attention_kT(q, kT, v, l, t, H)
+
+    _chain_attn(kernel, T_CROSS, rows, "cross kT int4  T=1536 /layer", bytes_moved, kT, v)
 
 
 def bench_cross_kt_int8(rows):
@@ -118,19 +142,14 @@ def bench_cross_kt_int8(rows):
     rng = np.random.default_rng(0)
     kT = jnp.asarray(rng.integers(-127, 127, (L, B, D, T_CROSS)).astype(np.int8))
     v = jnp.asarray(rng.integers(-127, 127, (L, B, T_CROSS, D)).astype(np.int8))
-    q0 = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32)).astype(jnp.bfloat16)
 
-    @jax.jit
-    def run(q):
-        for l in range(L):
-            acc, m, lsum = decode_attention_kT(
-                q, kT, v, jnp.asarray(l), jnp.asarray(T_CROSS), H
-            )
-            q = (q + 1e-6 * acc.astype(q.dtype)).astype(q.dtype)
-        return q
+    def kernel(q, kT, v, l, t):
+        return decode_attention_kT(q, kT, v, l, t, H)
 
-    dt = timeit(run, lambda q: jnp.sum(q), q0) / L
-    report("cross kT int8  T=1536 /layer", dt, 2 * B * T_CROSS * D, rows)
+    _chain_attn(
+        kernel, T_CROSS, rows, "cross kT int8  T=1536 /layer",
+        2 * B * T_CROSS * D, kT, v,
+    )
 
 
 def bench_self_v1_int8(rows):
@@ -141,20 +160,29 @@ def bench_self_v1_int8(rows):
     k = jnp.asarray(rng.integers(-127, 127, (L, B, T_SELF, D)).astype(np.int8))
     v = jnp.asarray(rng.integers(-127, 127, (L, B, T_SELF, D)).astype(np.int8))
     sc = jnp.asarray(rng.uniform(0.005, 0.02, (L, B, T_SELF, 2)).astype(np.float32))
-    q0 = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32)).astype(jnp.bfloat16)
-
-    @jax.jit
-    def run(q):
-        for l in range(L):
-            acc, m, lsum = decode_attention_layer(
-                q, k, v, jnp.asarray(l), jnp.asarray(200), H, kv_scale4=sc
-            )
-            q = (q + 1e-6 * acc.astype(q.dtype)).astype(q.dtype)
-        return q
-
-    dt = timeit(run, lambda q: jnp.sum(q), q0) / L
     bytes_moved = B * T_SELF * (2 * D + 8)
-    report("self v1 int8   T=256  /layer", dt, bytes_moved, rows)
+
+    def kernel(q, k4, v4, l, t, sc4):
+        return decode_attention_layer(q, k4, v4, l, t, H, kv_scale4=sc4)
+
+    _chain_attn(kernel, 200, rows, "self v1 int8   T=256  /layer", bytes_moved, k, v, sc)
+
+
+def bench_self_v1_bf16(rows):
+    from whisper_burn_tpu.ops.pallas_attention import decode_attention_layer
+
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((L, B, T_SELF, D)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    v = k
+
+    def kernel(q, k4, v4, l, t):
+        return decode_attention_layer(q, k4, v4, l, t, H)
+
+    _chain_attn(
+        kernel, 200, rows, "self v1 bf16   T=256  /layer", 2 * B * T_SELF * D * 2, k, v
+    )
 
 
 def _q4_linear(rng, k, n):
@@ -174,13 +202,16 @@ def bench_qkv_matmul(rows):
     x0 = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32)).astype(jnp.bfloat16)
 
     @jax.jit
-    def run(x):
-        for _ in range(L):
-            y = apply_linear(p, x, compute)
-            x = (x + 1e-6 * y[..., :D]).astype(x.dtype)
-        return x
+    def run(x, qw, sc, b):
+        pp = {"qw": qw, "scales": sc, "b": b}
 
-    dt = timeit(run, lambda x: jnp.sum(x), x0) / L
+        def body(k, x):
+            y = apply_linear(pp, x, compute)
+            return (x + 1e-6 * y[..., :D]).astype(x.dtype)
+
+        return jax.lax.fori_loop(0, ITERS, body, x)
+
+    dt = timeit_loop(run, x0, p["qw"], p["scales"], p["b"])
     bytes_moved = D * 3 * D + (D // 32) * 3 * D * 4
     report("qkv q4 matmul  [1280->3840]", dt, bytes_moved, rows)
 
@@ -197,13 +228,18 @@ def bench_ffn(rows):
     x0 = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32)).astype(jnp.bfloat16)
 
     @jax.jit
-    def run(x):
-        for _ in range(L):
-            y = fused_ffn_pallas(x, fc1, fc2, "tanh", compute)
-            x = (x + 1e-6 * y).astype(x.dtype)
-        return x
+    def run(x, q1, s1, b1, q2, s2, b2):
+        p1 = {"qw": q1, "scales": s1, "b": b1}
+        p2 = {"qw": q2, "scales": s2, "b": b2}
 
-    dt = timeit(run, lambda x: jnp.sum(x), x0) / L
+        def body(k, x):
+            y = fused_ffn_pallas(x, p1, p2, "tanh", compute)
+            return (x + 1e-6 * y).astype(x.dtype)
+
+        return jax.lax.fori_loop(0, ITERS, body, x)
+
+    dt = timeit_loop(run, x0, fc1["qw"], fc1["scales"], fc1["b"],
+                     fc2["qw"], fc2["scales"], fc2["b"])
     bytes_moved = 2 * D * F + 2 * (D * F // 32) * 4
     report("ffn q4 fused   [1280<->5120]", dt, bytes_moved, rows)
 
@@ -215,47 +251,73 @@ def bench_logits(rows):
     x0 = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32)).astype(jnp.bfloat16)
 
     @jax.jit
-    def run(x):
-        for _ in range(L):
+    def run(x, emb):
+        def body(k, x):
             logits = jnp.matmul(x, emb.T, preferred_element_type=jnp.float32)
-            x = (x + 1e-6 * logits[:, :D].astype(x.dtype)).astype(x.dtype)
-        return x
+            return (x + 1e-6 * logits[:, :D].astype(x.dtype)).astype(x.dtype)
 
-    dt = timeit(run, lambda x: jnp.sum(x), x0) / L
+        return jax.lax.fori_loop(0, ITERS, body, x)
+
+    dt = timeit_loop(run, x0, emb)
     report("logits bf16    [1280->51872]", dt, VOCAB * D * 2, rows)
 
 
+def bench_logits_q8(rows):
+    """int8 tied-embedding logits via the Pallas q4 kernel."""
+    from whisper_burn_tpu.ops import Compute
+    from whisper_burn_tpu.ops.q4_matmul import q4_matmul
+
+    compute = Compute.fastest(kv_bits=4)
+    rng = np.random.default_rng(0)
+    qw = jnp.asarray(
+        rng.integers(-127, 127, (D, VOCAB)).astype(np.int8)
+    )
+    sc = jnp.asarray(rng.uniform(1e-4, 2e-4, (D // 32, VOCAB)).astype(np.float32))
+    x0 = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def run(x, qw, sc):
+        def body(k, x):
+            logits = q4_matmul(x, qw, sc, compute)
+            return (x + 1e-6 * logits[:, :D].astype(x.dtype)).astype(x.dtype)
+
+        return jax.lax.fori_loop(0, ITERS, body, x)
+
+    dt = timeit_loop(run, x0, qw, sc)
+    report("logits int8    [1280->51872]", dt, D * VOCAB + D * VOCAB // 32 * 4, rows)
+
+
 def bench_full_step(rows):
-    """One full decode_step at the serving config (B=64, donated cache)."""
+    """Full decode_steps chained in-graph (ablate_step's harness)."""
     from whisper_burn_tpu.models import WhisperConfig
     from whisper_burn_tpu.models.decoder import decode_step, init_cache
     from whisper_burn_tpu.models.params import fabricated_quantized_params
     from whisper_burn_tpu.ops import Compute
     from whisper_burn_tpu.transcribe import prepare_params
 
+    iters = 32
     cfg = WhisperConfig.large_v3()
     compute = Compute.fastest(kv_bits=4)
     params = prepare_params(fabricated_quantized_params(cfg, seed=0), compute)
     cache = init_cache(cfg, B, compute, ctx=T_SELF)
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
+    @jax.jit
     def run(p, tok, cache):
-        for i in range(4):
-            logits, cache = decode_step(
-                p, cfg, tok, jnp.asarray(100 + i), cache, compute
-            )
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return tok, cache
+        def body(k, carry):
+            tok, cache = carry
+            logits, cache = decode_step(p, cfg, tok, 100 + k, cache, compute)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+        tok, cache = jax.lax.fori_loop(0, iters, body, (tok, cache))
+        return tok
 
     tok = jnp.full((B,), 50258, jnp.int32)
-    tok, cache = run(params, tok, cache)
-    float(jnp.sum(tok))
+    out = run(params, tok, cache)
+    float(jnp.sum(out))
     t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        tok, cache = run(params, tok, cache)
-    float(jnp.sum(tok))
-    dt = (time.perf_counter() - t0 - ROUNDTRIP) / iters / 4
+    out = run(params, tok, cache)
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0 - ROUNDTRIP) / iters
 
     nl = cfg.n_text_layer
     w = (D * 3 * D + 3 * D * D + 2 * D * F) * nl
@@ -282,21 +344,27 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument(
-        "--only", default=None, help="comma list: cross4,cross8,self,qkv,ffn,logits,step"
+        "--only", default=None,
+        help="comma list: cross4,cross8,self,selfbf16,qkv,ffn,logits,logitsq8,step",
     )
     args = ap.parse_args()
 
+    from whisper_burn_tpu.transcribe import enable_compilation_cache
+
+    enable_compilation_cache()
     ROUNDTRIP = measure_roundtrip()
-    print(f"measured sync roundtrip: {ROUNDTRIP*1e3:.2f} ms")
+    print(f"measured sync roundtrip: {ROUNDTRIP*1e3:.2f} ms", flush=True)
 
     rows: list[dict] = []
     benches = {
         "cross4": bench_cross_kt_int4,
         "cross8": bench_cross_kt_int8,
         "self": bench_self_v1_int8,
+        "selfbf16": bench_self_v1_bf16,
         "qkv": bench_qkv_matmul,
         "ffn": bench_ffn,
         "logits": bench_logits,
+        "logitsq8": bench_logits_q8,
     }
     only = set(args.only.split(",")) if args.only else None
     for name, fn in benches.items():
@@ -308,7 +376,11 @@ def main():
 
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({"roundtrip_ms": ROUNDTRIP * 1e3, "kernels": rows, "step": step}, f, indent=1)
+            json.dump(
+                {"roundtrip_ms": ROUNDTRIP * 1e3, "kernels": rows, "step": step},
+                f,
+                indent=1,
+            )
 
 
 if __name__ == "__main__":

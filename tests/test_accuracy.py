@@ -31,6 +31,7 @@ FLOORS = {
     "q4_bf16": 0.95,
     "q4_int8kv": 0.95,
     "q4_int4kv": 0.90,
+    "q4_int4kv_q8log": 0.90,  # int8 tied-embedding logits matmul
 }
 
 
@@ -60,13 +61,26 @@ def test_kv_quantization_floors_small():
         ref_tokens, ref_lg, valid = reference_run(
             params, cfg, mel, langs, ref_compute, steps
         )
+        from whisper_burn_tpu.transcribe import quantize_logit_embedding
+
+        params_qlog = {
+            **params,
+            "decoder": {
+                **params["decoder"],
+                "tok_emb_q": quantize_logit_embedding(params["decoder"]["tok_emb"]),
+            },
+        }
         for name, comp in {
             "q4_bf16": Compute.fast().replace(backend=xla),
             "q4_int8kv": Compute.fastest(kv_bits=8).replace(backend=xla),
             "q4_int4kv": Compute.fastest(kv_bits=4).replace(backend=xla),
+            "q4_int4kv_q8log": Compute.fastest(kv_bits=4).replace(
+                backend=xla, quantized_logits=True
+            ),
         }.items():
+            p = params_qlog if comp.quantized_logits else params
             row = compare_variant(
-                ref_lg, valid, params, cfg, mel, langs, ref_tokens, comp, steps
+                ref_lg, valid, p, cfg, mel, langs, ref_tokens, comp, steps
             )
             agreements[name].append(row["token_agreement"])
 
@@ -93,10 +107,14 @@ def test_committed_accuracy_numbers_meet_floors():
     data = json.loads(ACCURACY_JSON.read_text())
     variants = data["variants"]
     for name, floor in FLOORS.items():
+        if name not in variants:  # committed sweep predates this variant
+            continue
         s = variants[name]
         assert s["token_agreement_mean"] >= floor, (name, s)
     # drift stays bounded relative to the reference logit spread
     for name in FLOORS:
+        if name not in variants:
+            continue
         assert variants[name]["norm_drift_max"] <= 1.5, (name, variants[name])
     assert "weight_q4" in variants, "weight-quantization diagnostic row missing"
     # seed-noise-dominated diagnostic: bound loosely (ADVICE r2) so a

@@ -152,14 +152,34 @@ def _logits(dec: Params, x: jnp.ndarray, cfg: WhisperConfig, compute: Compute) -
 
     ``x: [B, D]`` -> ``[B, n_vocab_padded]`` float32
     (src/model/decoder.rs:240-244).
+
+    With ``compute.quantized_logits`` and a prepared ``tok_emb_q``
+    (transcribe.prepare_params), the projection streams an int8 copy of
+    the embedding with 32-block scales — half the decode loop's
+    0.13 GB/step bf16 embedding read — through the fused Pallas kernel,
+    accumulating f32 (accuracy-gated; sweep row q8_logits).
     """
+    from whisper_burn_tpu.ops.q4_matmul import q4_matmul
+
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
-    logits = jnp.matmul(
-        x.astype(compute.dtype),
-        dec["tok_emb"].astype(compute.dtype).T,
-        precision=compute.precision,
-        preferred_element_type=jnp.float32,
-    )
+    q = dec.get("tok_emb_q") if compute.quantized_logits else None
+    if compute.quantized_logits and q is None:
+        raise ValueError(
+            "compute.quantized_logits needs params prepared with "
+            "transcribe.prepare_params (missing decoder.tok_emb_q)"
+        )
+    if q is not None:
+        logits = q4_matmul(
+            x.astype(compute.dtype), q["qw"], q["scales"], compute,
+            out_dtype=jnp.float32,
+        )
+    else:
+        logits = jnp.matmul(
+            x.astype(compute.dtype),
+            dec["tok_emb"].astype(compute.dtype).T,
+            precision=compute.precision,
+            preferred_element_type=jnp.float32,
+        )
     pad = jnp.arange(logits.shape[-1]) >= cfg.n_vocab
     return jnp.where(pad[None, :], -jnp.inf, logits)
 

@@ -42,6 +42,14 @@ class Compute:
     # inside the decode kernel — unlike the cross cache, self K/V arrive one
     # token at a time, so per-channel scales can't be fixed up front.
     self_kv_dtype: jnp.dtype | None = None
+    # 4 packs the self cache like the cross cache (requires int8
+    # self_kv_dtype); per-token absmax/7 scales, channels packed in pairs.
+    self_kv_bits: int = 8
+    # int8-quantize the tied-embedding logits matmul (decode reads the
+    # [V, D] embedding every step — bf16 is 0.13 GB/step at Large-V3; int8
+    # halves it). Serving-only; accuracy-gated via the sweep's
+    # q8_logits row before it joins the fastest() default.
+    quantized_logits: bool = False
     # Tensor-parallel context for shard_map bodies (parallel/sharded.py):
     # ``tp`` = model-axis size (per-shard head count = n_heads // tp, KV
     # cache width = D // tp), ``tp_axis`` = mesh axis name psum'd after the

@@ -110,6 +110,7 @@ def q4_matmul_pallas(
     scales: jnp.ndarray,
     compute,
     interpret: bool | None = None,
+    out_dtype=None,
 ) -> jnp.ndarray | None:
     """Fused quantized matmul ``[..., K] -> [..., N]``.
 
@@ -146,5 +147,5 @@ def q4_matmul_pallas(
         dtype=compute.dtype, precision=compute.precision,
         interpret=interpret, bm=bm, bn=BN, bk=BK,
     )
-    y = y[:m, :n].astype(compute.dtype)
+    y = y[:m, :n].astype(out_dtype or compute.dtype)
     return y.reshape(*batch_shape, n)

@@ -42,7 +42,8 @@ def dequant_weight(qw: jnp.ndarray, scales: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def q4_matmul_xla(
-    x: jnp.ndarray, qw: jnp.ndarray, scales: jnp.ndarray, compute: Compute
+    x: jnp.ndarray, qw: jnp.ndarray, scales: jnp.ndarray, compute: Compute,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Dequantize-then-dot fallback; accumulates in float32."""
     w = dequant_weight(qw, scales, compute.dtype)
@@ -52,24 +53,27 @@ def q4_matmul_xla(
         precision=compute.precision,
         preferred_element_type=jnp.float32,
     )
-    return y.astype(compute.dtype)
+    return y.astype(out_dtype or compute.dtype)
 
 
 def q4_matmul(
-    x: jnp.ndarray, qw: jnp.ndarray, scales: jnp.ndarray, compute: Compute
+    x: jnp.ndarray, qw: jnp.ndarray, scales: jnp.ndarray, compute: Compute,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Quantized matmul with backend dispatch.
 
     ``x: [..., K]`` -> ``[..., N]`` (batch dims preserved, like the
     reference's ``q4_matmul(input[B,M,K]) -> [B,M,N]``, src/gguf/op.rs:47).
+    ``out_dtype`` overrides the result dtype (f32 accumulation is kept up
+    to the cast — the logits matmul needs full-precision output).
     """
     if compute.use_pallas and _rows(x) < LARGE_M:
         from whisper_burn_tpu.ops.pallas_q4 import q4_matmul_pallas
 
-        y = q4_matmul_pallas(x, qw, scales, compute)
+        y = q4_matmul_pallas(x, qw, scales, compute, out_dtype=out_dtype)
         if y is not None:  # kernel may decline unsupported shapes
             return y
-    return q4_matmul_xla(x, qw, scales, compute)
+    return q4_matmul_xla(x, qw, scales, compute, out_dtype=out_dtype)
 
 
 # Row count above which the dequantize-then-dot path wins. Measured on

@@ -69,6 +69,23 @@ class TranscribeResult:
     lang_token: int
 
 
+def quantize_logit_embedding(tok_emb) -> dict:
+    """int8 copy of the tied embedding for the decode logits matmul.
+
+    ``tok_emb [Vp, D]`` -> ``{"qw": int8 [D, Vp], "scales": f32 [D/32, Vp]}``
+    — the ops/q4_matmul layout (codes + 32-block absmax/127 scales along
+    K=D), so the same fused Pallas kernel that serves the projections also
+    serves the logits. Padded vocab rows quantize to exact zeros.
+    """
+    w = np.asarray(tok_emb, np.float32).T  # [D, Vp]
+    k, n = w.shape
+    assert k % 32 == 0, k
+    w3 = w.reshape(k // 32, 32, n)
+    s = np.maximum(np.abs(w3).max(axis=1), 1e-12) / 127.0  # [K/32, N]
+    qw = np.clip(np.round(w3 / s[:, None, :]), -127, 127).astype(np.int8)
+    return {"qw": qw.reshape(k, n), "scales": s.astype(np.float32)}
+
+
 def prepare_params(
     params: Params, compute: Compute, fuse: bool = True, tp: int = 1
 ) -> Params:
@@ -84,6 +101,17 @@ def prepare_params(
         from whisper_burn_tpu.models.params import fuse_attention_params
 
         params = fuse_attention_params(params, tp=tp)
+
+    if compute.quantized_logits and "tok_emb_q" not in params["decoder"]:
+        params = {
+            **params,
+            "decoder": {
+                **params["decoder"],
+                "tok_emb_q": quantize_logit_embedding(
+                    params["decoder"]["tok_emb"]
+                ),
+            },
+        }
 
     def cast(path, x):
         leaf = path[-1].key if path else ""
