@@ -1,0 +1,233 @@
+"""Experiments: int4 cross-attention kT kernel variants (VERDICT r2 item 1).
+
+Baseline: 228 us/layer at B=64, T=1536, int4-packed — 67% of the HBM
+roofline, vs the int8 variant's 84%. The gap is nibble-unpack VPU work.
+Variants try: larger g (fewer grid steps), the bias trick (dot biased
+nibbles [0..15] on the MXU and subtract 8*rowsum once per row — removes
+the -8 subtract over the full tile), and direct u8->compute converts
+(skip the int32 roundtrip).
+
+Run: python scripts/exp_cross_kernel.py [--only c1,c2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import roofline
+from roofline import HBM_GBPS, measure_roundtrip, timeit_loop
+
+B, D, H, T, L = 64, 1280, 20, 1536, 8
+NEG_BIG = -1e30
+HS = 32
+ITERS = roofline.ITERS
+
+
+def _mk_kernel(g, bias_trick, direct_cvt):
+    def kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref,
+               acc_ref, m_ref, l_ref, *, scale, t):
+        valid = scalar_ref[1]
+        for i in range(g):
+            qh = qh_ref[i]  # [HS, D]
+            kp = kT_ref[0, i]  # [D/2, T] uint8 nibble pairs
+            d2 = kp.shape[0]
+            if direct_cvt:
+                lo_b = (kp & 15).astype(qh.dtype)  # biased [0..15]
+                hi_b = (kp >> 4).astype(qh.dtype)
+            else:
+                kpi = kp.astype(jnp.int32)
+                lo_b = (kpi & 15).astype(qh.dtype)
+                hi_b = (kpi >> 4).astype(qh.dtype)
+            if bias_trick:
+                # (nib-8) dot == nib dot - 8 * rowsum(q half)
+                s = jnp.dot(qh[:, :d2], lo_b, preferred_element_type=jnp.float32)
+                s = s + jnp.dot(qh[:, d2:], hi_b, preferred_element_type=jnp.float32)
+                qsum = jnp.sum(qh.astype(jnp.float32), axis=1, keepdims=True)
+                s = (s - 8.0 * qsum) * scale
+            else:
+                k_lo = lo_b - jnp.asarray(8.0, qh.dtype)
+                k_hi = hi_b - jnp.asarray(8.0, qh.dtype)
+                s = jnp.dot(qh[:, :d2], k_lo, preferred_element_type=jnp.float32)
+                s = s + jnp.dot(qh[:, d2:], k_hi, preferred_element_type=jnp.float32)
+                s = s * scale
+            in_range = jax.lax.broadcasted_iota(jnp.int32, (HS, t), 1) < valid
+            s = jnp.where(in_range, s, NEG_BIG)
+
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.where(in_range, jnp.exp(s - m), 0.0)
+            l = jnp.sum(p, axis=1, keepdims=True)
+
+            pc = p.astype(qh.dtype)
+            vp = v_ref[0, i]  # [T/2, D]
+            if direct_cvt:
+                v_lo_b = (vp & 15).astype(qh.dtype)
+                v_hi_b = (vp >> 4).astype(qh.dtype)
+            else:
+                vpi = vp.astype(jnp.int32)
+                v_lo_b = (vpi & 15).astype(qh.dtype)
+                v_hi_b = (vpi >> 4).astype(qh.dtype)
+            t2 = vp.shape[0]
+            if bias_trick:
+                pv = jnp.dot(pc[:, :t2], v_lo_b, preferred_element_type=jnp.float32)
+                pv = pv + jnp.dot(pc[:, t2:], v_hi_b, preferred_element_type=jnp.float32)
+                pv = pv - 8.0 * l  # sum of p weights, broadcast over D
+            else:
+                v_lo = v_lo_b - jnp.asarray(8.0, qh.dtype)
+                v_hi = v_hi_b - jnp.asarray(8.0, qh.dtype)
+                pv = jnp.dot(pc[:, :t2], v_lo, preferred_element_type=jnp.float32)
+                pv = pv + jnp.dot(pc[:, t2:], v_hi, preferred_element_type=jnp.float32)
+            acc_ref[i] = jnp.sum(pv * hmask_ref[:], axis=0, keepdims=True)
+            m_ref[i] = m
+            l_ref[i] = l
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("g", "bias_trick", "direct_cvt"))
+def _call(q, kT4, v4, scalars, *, g, bias_trick, direct_cvt):
+    l_dim, kb, ds, t = kT4.shape
+    d = ds * 2
+    b = q.shape[0]
+    dh = d // H
+    scale = 1.0 / np.sqrt(dh)
+
+    head_of_d = np.arange(d) // dh
+    hmask = head_of_d[None, :] == np.arange(HS)[:, None]
+    hmask_f = jnp.asarray(hmask, jnp.float32)
+    qh = q.reshape(b, 1, d) * jnp.asarray(hmask, q.dtype)[None]
+
+    ts = t // 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, HS, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((HS, d), lambda b, sc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, ds, t), lambda b, sc: (sc[0], b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, ts, d), lambda b, sc: (sc[0], b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((g, 1, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, HS, 1), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, HS, 1), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    acc, m, l = pl.pallas_call(
+        functools.partial(
+            _mk_kernel(g, bias_trick, direct_cvt), scale=scale, t=t
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, HS, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, HS, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(scalars, qh, hmask_f, kT4, v4)
+    return acc, m[:, :H, 0][:, None, :], l[:, :H, 0][:, None, :]
+
+
+def _data():
+    rng = np.random.default_rng(0)
+    kT = jnp.asarray(rng.integers(0, 255, (L, B, D // 2, T)).astype(np.uint8))
+    v = jnp.asarray(rng.integers(0, 255, (L, B, T // 2, D)).astype(np.uint8))
+    q = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    return q, kT, v
+
+
+def check(name, kw):
+    from whisper_burn_tpu.ops.pallas_attention import decode_attention_kT, normalize
+
+    q, kT, v = _data()
+    scalars = jnp.asarray([2, T], jnp.int32)
+
+    @jax.jit
+    def ref(q, kT, v):
+        acc, m, l = decode_attention_kT(q, kT, v, jnp.asarray(2), jnp.asarray(T), H)
+        return normalize(acc, l, H)
+
+    @jax.jit
+    def var(q, kT, v):
+        acc, m, l = _call(q, kT, v, scalars, **kw)
+        return normalize(acc, l, H)
+
+    o0 = np.asarray(ref(q, kT, v))
+    o1 = np.asarray(var(q, kT, v))
+    err = np.max(np.abs(o0 - o1))
+    print(f"  {name}: max|out-ref| = {err:.2e}", flush=True)
+    assert err < 5e-2, err
+
+
+def bench(name, kw):
+    q0, kT, v = _data()
+
+    @jax.jit
+    def run(q, kT4, v4):
+        def body(i, q):
+            scalars = jnp.stack(
+                [(i % L).astype(jnp.int32), jnp.asarray(T, jnp.int32)]
+            )
+            acc, m, l = _call(q, kT4, v4, scalars, **kw)
+            return (q + 1e-6 * acc.astype(q.dtype)).astype(q.dtype)
+
+        return jax.lax.fori_loop(0, ITERS, body, q)
+
+    dt = timeit_loop(run, q0, kT, v)
+    bytes_moved = B * (D // 2 * T + T // 2 * D)
+    sol = bytes_moved / HBM_GBPS
+    print(
+        f"{name:24s} {dt*1e6:7.1f} us/layer  SoL {sol*1e6:6.1f}  "
+        f"{bytes_moved/dt/1e9:5.0f} GB/s ({100*sol/dt:5.1f}%)",
+        flush=True,
+    )
+
+
+VARIANTS = {
+    "c0_repro": dict(g=4, bias_trick=False, direct_cvt=False),
+    "c1_g8": dict(g=8, bias_trick=False, direct_cvt=False),
+    "c2_bias": dict(g=4, bias_trick=True, direct_cvt=False),
+    "c3_direct": dict(g=4, bias_trick=False, direct_cvt=True),
+    "c4_all": dict(g=8, bias_trick=True, direct_cvt=True),
+    "c5_bias_direct": dict(g=4, bias_trick=True, direct_cvt=True),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    from whisper_burn_tpu.transcribe import enable_compilation_cache
+
+    enable_compilation_cache()
+    roofline.ROUNDTRIP = measure_roundtrip()
+    print(f"roundtrip {roofline.ROUNDTRIP*1e3:.2f} ms", flush=True)
+
+    for name, kw in VARIANTS.items():
+        if only is not None and name not in only:
+            continue
+        check(name, kw)
+        bench(name, kw)
+
+
+if __name__ == "__main__":
+    main()

