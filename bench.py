@@ -75,6 +75,8 @@ def main() -> None:
     }[kv]
     if os.environ.get("BENCH_LOGITS", "bf16") == "int8":
         compute = compute.replace(quantized_logits=True)
+    if os.environ.get("BENCH_W8A8", "0") == "1":
+        compute = compute.replace(w8a8=True)
     params = prepare_params(fabricated_quantized_params(cfg, seed=0), compute)
     mel_frontend = MelFrontend(n_mels=cfg.n_mels, norm="slaney")
 

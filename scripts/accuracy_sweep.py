@@ -78,6 +78,7 @@ def run_sweep(
         "q4_int4kv_q8log": Compute.fastest(kv_bits=4).replace(
             backend=kb, quantized_logits=True
         ),
+        "q4_w8a8": Compute.fastest(kv_bits=4).replace(backend=kb, w8a8=True),
     }
     ref_compute = Compute.parity().replace(backend=KernelBackend.XLA)
 
@@ -116,13 +117,22 @@ def run_sweep(
                 ),
             },
         }
+        from whisper_burn_tpu.models.params import attach_w8a8
+
+        params_q4_w8 = attach_w8a8(params_q4)
         for name, comp in variants.items():
-            p = params_q4_qlog if comp.quantized_logits else params_q4
+            if comp.quantized_logits:
+                p = params_q4_qlog
+            elif comp.w8a8:
+                p = params_q4_w8
+            else:
+                p = params_q4
             row = compare_variant(
                 refq_lg, refq_valid, p, cfg, mel, langs, refq_tokens,
                 comp, steps,
             )
             acc[name].append(dict(seed=seed, **row))
+        del params_q4_w8
 
         # reference A: f32 weights — the weight-quantization diagnostic
         ref_tokens, ref_lg, valid = reference_run(
@@ -220,6 +230,7 @@ def write_outputs(result: dict, out: str) -> None:
         "q4_int8kv": ("q4 @ f32", "bf16", "int8 self + int8 cross"),
         "q4_int4kv": ("q4 @ f32", "bf16", "int8 self + int4 cross (bench default)"),
         "q4_int4kv_q8log": ("q4 @ f32", "bf16 + int8 logits", "int8 self + int4 cross"),
+        "q4_w8a8": ("q4 @ f32", "bf16 + W8A8 encoder", "int8 self + int4 cross"),
         "weight_q4": ("f32 weights (iid)", "f32", "f32"),
         "weight_q4_struct": ("f32 weights (peaked fixture)", "f32", "f32"),
     }

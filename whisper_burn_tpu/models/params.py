@@ -221,6 +221,60 @@ def structured_params(
     }
 
 
+def _w8_from_q4(qw: np.ndarray, scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-column int8 requant of a Q4-repacked stacked weight.
+
+    ``qw [L, K, N] int8`` codes + ``scales [L, K/32, N]`` -> (``qw8
+    [L, K, N] int8`` with per-column absmax/127 scales ``s8 [L, N]``).
+    Rank-1 scales are what lets the contraction run int8 x int8 -> int32
+    on the MXU with the dequant applied after (the per-32-block Q4 scales
+    cannot factor out of an integer dot)."""
+    L, K, N = qw.shape
+    qw8 = np.empty_like(qw)
+    s8 = np.empty((L, N), np.float32)
+    for l in range(L):  # per layer: bounds the f32 transient to one matrix
+        w = qw[l].astype(np.float32) * np.repeat(
+            np.asarray(scales[l], np.float32), 32, axis=0
+        )
+        s8[l] = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+        qw8[l] = np.clip(np.round(w / s8[l]), -127, 127).astype(np.int8)
+    return qw8, s8
+
+
+def attach_w8a8(params: Params) -> Params:
+    """Add int8 per-column weight copies for the large-M matmul surfaces.
+
+    Covers every quantized encoder-block linear plus the decoder's
+    cross-KV projections (the crossfill runs at M = B*1500) — the shapes
+    where ops/linear routes through :func:`~whisper_burn_tpu.ops.linear.
+    w8a8_matmul` when ``compute.w8a8`` is set. Decode-step matmuls
+    (M = B) stay on the bandwidth-optimal Q4 Pallas path untouched."""
+
+    def augment_blocks(blocks: Params, names) -> Params:
+        out = {k: v for k, v in blocks.items()}
+        for name in names:
+            p = blocks.get(name)
+            if p is None or "qw" not in p:
+                continue
+            qw8, s8 = _w8_from_q4(np.asarray(p["qw"]), np.asarray(p["scales"]))
+            out[name] = {**p, "qw8": qw8, "s8": s8}
+        return out
+
+    enc_names = ("attn_qkv", "attn_q", "attn_k", "attn_v", "attn_o", "fc1", "fc2")
+    dec_names = ("xattn_kv", "xattn_k", "xattn_v")
+    return {
+        **params,
+        "encoder": {
+            **params["encoder"],
+            "blocks": augment_blocks(params["encoder"]["blocks"], enc_names),
+        },
+        "decoder": {
+            **params["decoder"],
+            "blocks": augment_blocks(params["decoder"]["blocks"], dec_names),
+        },
+    }
+
+
 def count_params(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 

@@ -50,6 +50,13 @@ class Compute:
     # halves it). Serving-only; accuracy-gated via the sweep's
     # q8_logits row before it joins the fastest() default.
     quantized_logits: bool = False
+    # W8A8 for large-M matmuls (encoder blocks + the cross-KV fill):
+    # activations quantize per-row to int8 and the contraction runs
+    # int8 x int8 -> int32 on the MXU at 2x bf16 peak (v5e: 394 TOPS).
+    # Needs per-column int8 weight copies prepared by
+    # transcribe.prepare_params (models/params.attach_w8a8);
+    # accuracy-gated via the sweep's enc_w8a8 row.
+    w8a8: bool = False
     # Tensor-parallel context for shard_map bodies (parallel/sharded.py):
     # ``tp`` = model-axis size (per-shard head count = n_heads // tp, KV
     # cache width = D // tp), ``tp_axis`` = mesh axis name psum'd after the

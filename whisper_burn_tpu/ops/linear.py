@@ -24,11 +24,35 @@ import jax
 import jax.numpy as jnp
 
 from whisper_burn_tpu.ops.compute import Compute
-from whisper_burn_tpu.ops.q4_matmul import q4_matmul
+from whisper_burn_tpu.ops.q4_matmul import LARGE_M, _rows, q4_matmul
+
+
+def w8a8_matmul(
+    x: jnp.ndarray, qw8: jnp.ndarray, s8: jnp.ndarray, compute: Compute
+) -> jnp.ndarray:
+    """``x [..., K] @ int8 [K, N]`` on the int8 MXU path (2x bf16 peak).
+
+    Activations quantize per-row (absmax/127); the contraction runs
+    ``int8 x int8 -> int32`` and the rank-1 dequant ``row_scale * s8``
+    applies after. Used for the encoder's large-M matmuls where the MXU,
+    not HBM, is the bound (VERDICT r2 item 3: encoder 55% MFU)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.round(xf / xs).astype(jnp.int8)
+    yi = jax.lax.dot_general(
+        xq, qw8,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = yi.astype(jnp.float32) * xs * s8.astype(jnp.float32)
+    return y.astype(compute.dtype)
 
 
 def _matmul(params: dict, x: jnp.ndarray, compute: Compute) -> jnp.ndarray:
     if "qw" in params:
+        if compute.w8a8 and "qw8" in params and _rows(x) >= LARGE_M:
+            return w8a8_matmul(x, params["qw8"], params["s8"], compute)
         return q4_matmul(x, params["qw"], params["scales"], compute)
     return jnp.matmul(
         x.astype(compute.dtype),

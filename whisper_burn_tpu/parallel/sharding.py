@@ -49,19 +49,21 @@ def _leaf_spec(path, x) -> P:
         return P(None, *spec) if stacked else P(*spec)
 
     if parent in _COL_PARALLEL:
-        if leaf in ("qw", "w"):  # [L?, K, N]
+        if leaf in ("qw", "w", "qw8"):  # [L?, K, N]
             return with_l(None, "model")
         if leaf == "scales":  # [L?, K/32, N]
             return with_l(None, "model")
-        if leaf == "b":  # [L?, N]
+        if leaf in ("b", "s8"):  # [L?, N]
             return with_l("model")
     if parent in _ROW_PARALLEL:
-        if leaf in ("qw", "w"):
+        if leaf in ("qw", "w", "qw8"):
             return with_l("model", None)
         if leaf == "scales":
             return with_l("model", None)
         if leaf == "b":  # added after the psum -> replicated
             return with_l()
+        if leaf == "s8":  # per-output-column dequant scale -> replicated
+            return with_l(None)
     return with_l(*([None] * (x.ndim - (1 if stacked else 0))))
 
 

@@ -102,6 +102,11 @@ def prepare_params(
 
         params = fuse_attention_params(params, tp=tp)
 
+    if compute.w8a8:
+        from whisper_burn_tpu.models.params import attach_w8a8
+
+        params = attach_w8a8(params)
+
     if compute.quantized_logits and "tok_emb_q" not in params["decoder"]:
         params = {
             **params,
