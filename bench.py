@@ -77,6 +77,8 @@ def main() -> None:
         compute = compute.replace(quantized_logits=True)
     if os.environ.get("BENCH_W8A8", "0") == "1":
         compute = compute.replace(w8a8=True)
+    if os.environ.get("BENCH_SELFKV", "int8") == "int4":
+        compute = compute.replace(self_kv_bits=4)
     params = prepare_params(fabricated_quantized_params(cfg, seed=0), compute)
     mel_frontend = MelFrontend(n_mels=cfg.n_mels, norm="slaney")
 
@@ -184,7 +186,9 @@ def _roofline_accounting(cfg, compute, batch: int, breakdown: dict) -> dict:
     t_cross = 1536 if cfg.n_audio_ctx == 1500 else cfg.n_audio_ctx
     weights = (3 * d * d + 3 * d * d + 2 * d * f) * nl  # int8 codes
     scales = weights // 32 * 4
-    if compute.quantized_self_kv:
+    if compute.self_kv_packed:
+        self_kv = batch * ctx * (d + 8) * nl  # two int4 K+V per byte
+    elif compute.quantized_self_kv:
         self_kv = batch * ctx * (2 * d + 8) * nl
     else:
         self_kv = 2 * batch * ctx * d * 2 * nl

@@ -79,6 +79,9 @@ def run_sweep(
             backend=kb, quantized_logits=True
         ),
         "q4_w8a8": Compute.fastest(kv_bits=4).replace(backend=kb, w8a8=True),
+        "q4_int4selfkv": Compute.fastest(kv_bits=4).replace(
+            backend=kb, self_kv_bits=4
+        ),
     }
     ref_compute = Compute.parity().replace(backend=KernelBackend.XLA)
 
@@ -231,6 +234,7 @@ def write_outputs(result: dict, out: str) -> None:
         "q4_int4kv": ("q4 @ f32", "bf16", "int8 self + int4 cross (bench default)"),
         "q4_int4kv_q8log": ("q4 @ f32", "bf16 + int8 logits", "int8 self + int4 cross"),
         "q4_w8a8": ("q4 @ f32", "bf16 + W8A8 encoder", "int8 self + int4 cross"),
+        "q4_int4selfkv": ("q4 @ f32", "bf16", "int4 self + int4 cross"),
         "weight_q4": ("f32 weights (iid)", "f32", "f32"),
         "weight_q4_struct": ("f32 weights (peaked fixture)", "f32", "f32"),
     }

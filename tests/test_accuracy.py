@@ -32,6 +32,7 @@ FLOORS = {
     "q4_int8kv": 0.95,
     "q4_int4kv": 0.90,
     "q4_int4kv_q8log": 0.90,  # int8 tied-embedding logits matmul
+    "q4_int4selfkv": 0.85,  # int4-packed self cache (per-token absmax/7)
 }
 
 
@@ -76,6 +77,9 @@ def test_kv_quantization_floors_small():
             "q4_int4kv": Compute.fastest(kv_bits=4).replace(backend=xla),
             "q4_int4kv_q8log": Compute.fastest(kv_bits=4).replace(
                 backend=xla, quantized_logits=True
+            ),
+            "q4_int4selfkv": Compute.fastest(kv_bits=4).replace(
+                backend=xla, self_kv_bits=4
             ),
         }.items():
             p = params_qlog if comp.quantized_logits else params

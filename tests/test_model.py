@@ -313,3 +313,48 @@ def test_int8_self_kv_prefill_roundtrip():
     np.testing.assert_allclose(
         k_deq[:, :, :t], k_ref[:, :, :t], atol=1e-6 + (amax / 127).max()
     )
+
+
+def test_int4_self_kv_close_to_bf16():
+    """self_kv_bits=4 packs channel pairs per byte (per-token absmax/7
+    scales); greedy tokens track the bf16-cache path."""
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+    params = random_params(cfg, seed=41, quantized=False)
+    mel = _mel(seed=42)[:, : cfg.n_mels, : cfg.n_audio_ctx * 2]
+    lang = jnp.full((2,), cfg.lang_token_start, jnp.int32)
+
+    packed = COMPUTE.replace(self_kv_dtype=jnp.int8, self_kv_bits=4)
+    cache = init_cache(cfg, 2, packed)
+    assert cache.self_k.dtype == jnp.uint8
+    assert cache.self_k.shape[-1] == cfg.n_text_state // 2
+
+    base = greedy_decode(
+        params, cfg, mel, lang, COMPUTE.replace(self_kv_dtype=None), max_tokens=8
+    )
+    quant = greedy_decode(params, cfg, mel, lang, packed, max_tokens=8)
+    agree = np.mean(np.asarray(base.tokens) == np.asarray(quant.tokens))
+    assert agree >= 0.75, (base.tokens, quant.tokens)
+
+
+def test_int4_self_kv_pallas_matches_xla():
+    """The packed single-pass kernel (bias-trick unpack, interpret mode)
+    tracks the XLA unpack path through a greedy decode."""
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+    params = random_params(cfg, seed=41, quantized=False)
+    mel = _mel(seed=42)[:, : cfg.n_mels, : cfg.n_audio_ctx * 2]
+    lang = jnp.full((2,), cfg.lang_token_start, jnp.int32)
+
+    xla = greedy_decode(
+        params, cfg, mel, lang,
+        COMPUTE.replace(self_kv_dtype=jnp.int8, self_kv_bits=4),
+        max_tokens=8,
+    )
+    flash = greedy_decode(
+        params, cfg, mel, lang,
+        Compute.parity().replace(
+            backend=KernelBackend.PALLAS, self_kv_dtype=jnp.int8, self_kv_bits=4
+        ),
+        max_tokens=8,
+    )
+    agree = np.mean(np.asarray(xla.tokens) == np.asarray(flash.tokens))
+    assert agree >= 0.75, (xla.tokens, flash.tokens)

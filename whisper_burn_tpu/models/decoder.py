@@ -87,6 +87,10 @@ def init_cache(
     ctx = cfg.n_text_ctx if ctx is None else ctx
     cross_t = cross_cache_len(cfg, compute)
     z = lambda t, dt: jnp.zeros((l, batch, t, d), dt)
+    # int4 self cache: channel pairs (j, j+D/2) share a byte
+    zs = lambda t, dt: jnp.zeros(
+        (l, batch, t, d // 2 if compute.self_kv_packed else d), dt
+    )
     kv_dt = compute.cross_kv_dtype
     # int4: two time positions pack into each stored byte (uint8)
     stored_t = cross_t // 2 if compute.kv_packed else cross_t
@@ -106,7 +110,7 @@ def init_cache(
         else None
     )
     return KVCache(
-        z(ctx, self_dt), z(ctx, self_dt), ck, z(stored_t, kv_dt), *sc, ssc
+        zs(ctx, self_dt), zs(ctx, self_dt), ck, z(stored_t, kv_dt), *sc, ssc
     )
 
 
@@ -236,6 +240,18 @@ def _quantize_tokens(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     return jnp.round(xf / scale).astype(jnp.int8), scale
+
+
+def _quantize_tokens4(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token int4 quantization, channel pairs packed into bytes.
+
+    ``x: [..., D]`` -> (``uint8 [..., D/2]`` biased nibble pairs via
+    :func:`pack_int4`, ``f32 scale [..., 1]`` = absmax/7)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(xf / scale), -8, 7).astype(jnp.int8)
+    return pack_int4(q, axis=-1), scale
 
 
 def _quantize_kv_layer(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -401,8 +417,9 @@ def prefill(
 
     sl = (slice(None), slice(None), slice(pos_offset, pos_offset + t))
     if compute.quantized_self_kv:
-        ks, ksc = _quantize_tokens(ks)
-        vs, vsc = _quantize_tokens(vs)
+        quant = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
+        ks, ksc = quant(ks)
+        vs, vsc = quant(vs)
         kvsc = jnp.concatenate([ksc, vsc], axis=-1)  # [L, B, t, 2]
         cache = cache._replace(
             self_kv_scale=cache.self_kv_scale.at[sl].set(kvsc),
@@ -473,8 +490,9 @@ def decode_step(
         h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
         q, k, v = qkv_proj(bp, h, compute)  # [B, 1, D] each
         if quantized_self:
-            kq, ksc = _quantize_tokens(k)
-            vq, vsc = _quantize_tokens(v)
+            quant = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
+            kq, ksc = quant(k)
+            vq, vsc = quant(v)
             sk = jax.lax.dynamic_update_slice(sk, kq[None], (l, 0, pos, 0))
             sv = jax.lax.dynamic_update_slice(sv, vq[None], (l, 0, pos, 0))
             kvsc = jnp.concatenate([ksc, vsc], axis=-1)  # [B, 1, 2]
@@ -485,6 +503,9 @@ def decode_step(
         k_full = jax.lax.dynamic_index_in_dim(sk, l, 0, keepdims=False)
         v_full = jax.lax.dynamic_index_in_dim(sv, l, 0, keepdims=False)
         if quantized_self:
+            if compute.self_kv_packed:
+                k_full = unpack_int4(k_full, axis=-1, dtype=compute.dtype)
+                v_full = unpack_int4(v_full, axis=-1, dtype=compute.dtype)
             sc_full = jax.lax.dynamic_index_in_dim(ssc, l, 0, keepdims=False)
             sc_full = sc_full.astype(compute.dtype)  # [B, ctx, 2]
             k_full = k_full.astype(compute.dtype) * sc_full[..., 0:1]
@@ -534,8 +555,11 @@ def _flash_supported(cfg: WhisperConfig, cache: KVCache, compute: Compute) -> bo
     d_loc = cfg.n_text_state // compute.tp
     if h_loc > H_PAD or h_loc == 0 or d_loc % h_loc != 0:
         return False
-    if _largest_tile(cache.self_k.shape[2]) is None:
+    ctx = cache.self_k.shape[2]
+    if _largest_tile(ctx) is None:
         return False
+    if compute.self_kv_packed and _largest_tile(ctx) != ctx:
+        return False  # int4 self unpack only in the single-pass kernel
     if cross_kt_layout(cfg, compute):
         return True  # the transposed layout is only chosen when supported
     if compute.kv_packed:
@@ -612,8 +636,9 @@ def _decode_step_flash(
 
     # deferred cache write: one slot across all layers
     if compute.quantized_self_kv:
-        ks, ksc = _quantize_tokens(ks)  # [L, B, 1, D] -> int8 + [L, B, 1, 1]
-        vs, vsc = _quantize_tokens(vs)
+        quant = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
+        ks, ksc = quant(ks)  # [L, B, 1, D(/2)] + [L, B, 1, 1]
+        vs, vsc = quant(vs)
         cache = cache._replace(
             self_kv_scale=jax.lax.dynamic_update_slice(
                 cache.self_kv_scale, jnp.concatenate([ksc, vsc], axis=-1), (0, 0, pos, 0)

@@ -102,12 +102,19 @@ class Compute:
         return self.quantized_kv and self.kv_bits == 4
 
     @property
-    def self_kv_storage_dtype(self):
-        return self.dtype if self.self_kv_dtype is None else self.self_kv_dtype
+    def quantized_self_kv(self) -> bool:
+        kv = self.dtype if self.self_kv_dtype is None else self.self_kv_dtype
+        return kv == jnp.int8
 
     @property
-    def quantized_self_kv(self) -> bool:
-        return self.self_kv_storage_dtype == jnp.int8
+    def self_kv_packed(self) -> bool:
+        return self.quantized_self_kv and self.self_kv_bits == 4
+
+    @property
+    def self_kv_storage_dtype(self):
+        if self.self_kv_packed:
+            return jnp.uint8  # nibble-pair container, channels packed
+        return self.dtype if self.self_kv_dtype is None else self.self_kv_dtype
 
     def replace(self, **kw) -> "Compute":
         return dataclasses.replace(self, **kw)

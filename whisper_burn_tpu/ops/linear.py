@@ -36,6 +36,12 @@ def w8a8_matmul(
     ``int8 x int8 -> int32`` and the rank-1 dequant ``row_scale * s8``
     applies after. Used for the encoder's large-M matmuls where the MXU,
     not HBM, is the bound (VERDICT r2 item 3: encoder 55% MFU)."""
+    # NOTE: the XLA int8 dot is the fast path here — a Pallas version was
+    # measured 60% SLOWER at encoder shapes (Mosaic does not map int8
+    # jnp.dot onto the native int8 MXU mode the way XLA does). The raw XLA
+    # int8 dot runs ~5.6x the bf16 dot; the net encoder win is ~10%
+    # because the per-row quantize (2 passes over x) and the int32->f32
+    # epilogue claw most of it back.
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     xs = jnp.maximum(amax, 1e-8) / 127.0

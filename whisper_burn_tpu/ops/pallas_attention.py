@@ -46,7 +46,7 @@ H_PAD = 128  # lane width for the per-head m/l state
 
 def _kernel(
     scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest,
-    scale, kt, scaled, g, single_pass, hs,
+    scale, kt, scaled, g, single_pass, hs, packed=False,
 ):
     """``scaled=True``: K/V blocks are int8 with per-token absmax scales in
     an extra ``[kt, 2]`` f32 operand (K scale in lane 0, V scale in lane 1)
@@ -88,15 +88,27 @@ def _kernel(
 
     for i in range(g):
         qmat = qmat_ref[i]  # [D, H_PAD]
-        # int8 caches convert to the compute dtype in VMEM (per-channel
-        # scales are folded into q / the output by the caller)
-        k = k_ref[0, i].astype(qmat.dtype)  # [kt, D]
-        v = v_ref[0, i].astype(qmat.dtype)
-
-        # scores for all heads in one MXU op; padded head columns carry
-        # zeros in qmat, their m/l state is garbage but sliced away by the
-        # wrapper.
-        s = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # [kt, Hp]
+        if packed:
+            # int4 nibble pairs (channels j / j+D/2 share a byte) with the
+            # bias trick: dot the biased nibbles [0..15] and fold the -8
+            # out as a rank-1 correction (see _kt_kernel), so the unpack
+            # is two VPU converts, no big-tensor subtract.
+            kp = k_ref[0, i].astype(jnp.int32)  # [kt, D/2]
+            d2 = kp.shape[1]
+            k_lo = (kp & 15).astype(qmat.dtype)
+            k_hi = (kp >> 4).astype(qmat.dtype)
+            qsum = jnp.sum(qmat.astype(jnp.float32), axis=0, keepdims=True)
+            s = jnp.dot(k_lo, qmat[:d2], preferred_element_type=jnp.float32)
+            s = s + jnp.dot(k_hi, qmat[d2:], preferred_element_type=jnp.float32)
+            s = (s - 8.0 * qsum) * scale
+        else:
+            # int8 caches convert to the compute dtype in VMEM (per-channel
+            # scales are folded into q / the output by the caller)
+            k = k_ref[0, i].astype(qmat.dtype)  # [kt, D]
+            # scores for all heads in one MXU op; padded head columns
+            # carry zeros in qmat, their m/l state is garbage but sliced
+            # away by the wrapper.
+            s = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # [kt, Hp]
         if scaled:
             s = s * sc_ref[0, i, :, 0:1]  # [kt, 1] per-token K dequant scale
         s = jnp.where(in_range, s, NEG_BIG)
@@ -108,11 +120,29 @@ def _kernel(
             m_ref[i] = m_new
             if scaled:
                 p = p * sc_ref[0, i, :, 1:2]
-            pT = p.astype(v.dtype).T[:hs]  # [hs, kt] head rows
+            pT = p.astype(qmat.dtype).T[:hs]  # [hs, kt] head rows
+            if packed:
+                vp = v_ref[0, i].astype(jnp.int32)  # [kt, D/2]
+                d2 = vp.shape[1]
+                v_lo = (vp & 15).astype(qmat.dtype)
+                v_hi = (vp >> 4).astype(qmat.dtype)
+                rs = jnp.sum(pT.astype(jnp.float32), axis=1, keepdims=True)
+                pv_lo = jnp.dot(pT, v_lo, preferred_element_type=jnp.float32) - 8.0 * rs
+                pv_hi = jnp.dot(pT, v_hi, preferred_element_type=jnp.float32) - 8.0 * rs
+                acc_ref[i] = jnp.concatenate(
+                    [
+                        jnp.sum(pv_lo * emat[:hs, :d2], axis=0, keepdims=True),
+                        jnp.sum(pv_hi * emat[:hs, d2:], axis=0, keepdims=True),
+                    ],
+                    axis=1,
+                )
+                continue
+            v = v_ref[0, i].astype(qmat.dtype)
             pv = jnp.dot(pT, v, preferred_element_type=jnp.float32)  # [hs, D]
             # collapse head rows: acc[d] = pv[head(d), d]
             acc_ref[i] = jnp.sum(pv * emat[:hs], axis=0, keepdims=True)
             continue
+        v = v_ref[0, i].astype(qmat.dtype)
 
         m_prev = m_ref[i]  # [1, Hp]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
@@ -136,7 +166,9 @@ def _kernel(
     jax.jit, static_argnames=("n_heads", "kt", "g", "batch_groups", "interpret")
 )
 def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, g, batch_groups, interpret):
-    l_dim, _, t, d = k4.shape
+    l_dim, _, t, ds = k4.shape
+    packed = k4.dtype == jnp.uint8  # int4 pairs packed along channels
+    d = ds * 2 if packed else ds
     b = q.shape[0]  # stream count; k4 batch = b // batch_groups
     dh = d // n_heads
     scale = 1.0 / np.sqrt(dh)
@@ -149,7 +181,7 @@ def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, g, batch_groups,
     emat = dmask.T  # [Hp, D]
 
     kv_spec = pl.BlockSpec(
-        (1, g, kt, d),
+        (1, g, kt, ds),
         lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
         memory_space=pltpu.VMEM,
     )
@@ -180,7 +212,7 @@ def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, g, batch_groups,
     acc, m, l = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, kt=kt, scaled=scaled, g=g,
-            single_pass=single_pass, hs=hs,
+            single_pass=single_pass, hs=hs, packed=packed,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -214,22 +246,27 @@ def decode_attention_layer(
     ``batch_groups=G > 1`` shares each cache entry among G consecutive
     query streams (beam search: W beams read their utterance's cross cache
     without duplicating it). ``kv_scale4`` dequantizes an int8 cache with
-    per-token absmax scales (K scale in lane 0, V scale in lane 1).
+    per-token absmax scales (K scale in lane 0, V scale in lane 1); a
+    uint8 cache holds int4 nibble pairs packed along channels
+    (decoder._quantize_tokens4) and is unpacked in-kernel with the bias
+    trick — served only when T fits one tile (the single-pass branch).
     Returns ``(acc [B*G,1,D] f32, m, l)`` unnormalized, or None if the
     shape is unsupported (caller falls back to XLA).
     """
-    _, kb, t, d = k4.shape
+    _, kb, t, ds = k4.shape
+    packed = k4.dtype == jnp.uint8
+    d = ds * 2 if packed else ds
     if d % n_heads != 0 or q.shape != (kb * batch_groups, 1, d) or n_heads > H_PAD:
         return None
     kt = _largest_tile(t)
-    if kt is None:
+    if kt is None or (packed and kt != t):
         return None
     b = q.shape[0]
     g = 1
     if batch_groups == 1:
         budget = 8 * 1024 * 1024  # per-operand VMEM block budget
         for cand in (8, 4, 2):
-            if b % cand == 0 and cand * kt * d * k4.dtype.itemsize <= budget:
+            if b % cand == 0 and cand * kt * ds * k4.dtype.itemsize <= budget:
                 g = cand
                 break
     if interpret is None:
