@@ -168,6 +168,22 @@ def bench_self_v1_int8(rows):
     _chain_attn(kernel, 200, rows, "self v1 int8   T=256  /layer", bytes_moved, k, v, sc)
 
 
+def bench_self_int4(rows):
+    """int4-packed self cache: channel-pair nibbles + per-token scales."""
+    from whisper_burn_tpu.ops.pallas_attention import decode_attention_layer
+
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.integers(0, 255, (L, B, T_SELF, D // 2)).astype(np.uint8))
+    v = jnp.asarray(rng.integers(0, 255, (L, B, T_SELF, D // 2)).astype(np.uint8))
+    sc = jnp.asarray(rng.uniform(0.005, 0.02, (L, B, T_SELF, 2)).astype(np.float32))
+    bytes_moved = B * T_SELF * (D + 8)
+
+    def kernel(q, k4, v4, l, t, sc4):
+        return decode_attention_layer(q, k4, v4, l, t, H, kv_scale4=sc4)
+
+    _chain_attn(kernel, 200, rows, "self int4      T=256  /layer", bytes_moved, k, v, sc)
+
+
 def bench_self_v1_bf16(rows):
     from whisper_burn_tpu.ops.pallas_attention import decode_attention_layer
 
@@ -360,6 +376,7 @@ def main():
         "cross4": bench_cross_kt_int4,
         "cross8": bench_cross_kt_int8,
         "self": bench_self_v1_int8,
+        "self4": bench_self_int4,
         "selfbf16": bench_self_v1_bf16,
         "qkv": bench_qkv_matmul,
         "ffn": bench_ffn,
