@@ -182,6 +182,13 @@ def _cmd_serve(args: argparse.Namespace) -> int:
     compute = {"parity": Compute.parity, "fast": Compute.fast, "fastest": Compute.fastest}[
         args.compute
     ]()
+    # accuracy-gated serving modes (sweep rows in ACCURACY.md)
+    if getattr(args, "self_kv", None) == "int4":
+        compute = compute.replace(self_kv_bits=4)
+    if getattr(args, "w8a8", False):
+        compute = compute.replace(w8a8=True)
+    if getattr(args, "int8_logits", False):
+        compute = compute.replace(quantized_logits=True)
     mesh = None
     if args.dp or args.tp:
         from whisper_burn_tpu.parallel import make_mesh
@@ -391,6 +398,18 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--compute", choices=["parity", "fast", "fastest"], default="fastest")
     sv.add_argument("--dp", type=int, default=0, help="data-parallel mesh axis")
     sv.add_argument("--tp", type=int, default=0, help="tensor-parallel mesh axis")
+    sv.add_argument(
+        "--self-kv", choices=["int8", "int4"], default="int8",
+        help="self-KV cache precision (int4 = packed, sweep row q4_int4selfkv)",
+    )
+    sv.add_argument(
+        "--w8a8", action="store_true",
+        help="int8 MXU encoder matmuls (sweep row q4_w8a8)",
+    )
+    sv.add_argument(
+        "--int8-logits", action="store_true",
+        help="int8 tied-embedding logits matmul (sweep row q4_int4kv_q8log)",
+    )
     sv.set_defaults(fn=_cmd_serve)
 
     ap = sub.add_parser("app", help="interactive push-to-talk transcription")

@@ -581,8 +581,10 @@ def _decode_step_flash(
     extra key, and the cache update is ONE deferred dynamic_update_slice per
     K/V — the per-step cache traffic is exactly one read of the live keys."""
     from whisper_burn_tpu.ops.pallas_attention import (
+        _largest_tile,
         decode_attention_kT,
         decode_attention_layer,
+        decode_attention_merged,
         flash_merge_extra_key,
         normalize,
     )
@@ -593,6 +595,10 @@ def _decode_step_flash(
     layer_idx = jnp.arange(cfg.n_text_layer)
     quantized_cross = cache.cross_k_scale is not None
     transposed = cross_kt_layout(cfg, compute)
+    # single-tile ctx (the serving right-sized cache): the kernels carry
+    # the whole epilogue — extra-key flash merge and normalization happen
+    # in-VMEM instead of ~25 small XLA ops per layer per step
+    ctx_single_tile = _largest_tile(cache.self_k.shape[2]) == cache.self_k.shape[2]
 
     def block(x, xs):
         bp, l = xs
@@ -603,30 +609,43 @@ def _decode_step_flash(
         # measured SLOWER here — the natural [kt, D] key layout makes the
         # scores a lanes-x-lanes contraction that Mosaic must transpose,
         # while the v1 lane-padded form feeds the MXU directly.
-        acc, m, lsum = decode_attention_layer(
-            q, cache.self_k, cache.self_v, l, pos, h,
-            kv_scale4=cache.self_kv_scale,
-        )
-        a = flash_merge_extra_key(acc, m, lsum, q, k_new, v_new, h).astype(compute.dtype)
-        x = x + apply_reduce_linear(bp["attn_o"], a, compute)
+        a = None
+        if ctx_single_tile and batch_groups == 1:
+            a = decode_attention_merged(
+                q, cache.self_k, cache.self_v, l, pos, h, k_new, v_new,
+                kv_scale4=cache.self_kv_scale,
+            )
+        if a is None:
+            acc, m, lsum = decode_attention_layer(
+                q, cache.self_k, cache.self_v, l, pos, h,
+                kv_scale4=cache.self_kv_scale,
+            )
+            a = flash_merge_extra_key(acc, m, lsum, q, k_new, v_new, h)
+        x = x + apply_reduce_linear(bp["attn_o"], a.astype(compute.dtype), compute)
 
         hdn = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
         qx = apply_linear(bp["xattn_q"], hdn, compute)
         if quantized_cross:
             # per-channel int8 scales fold outside the kernel: K scale into
-            # the query, V scale into the unnormalized accumulator
+            # the query, V scale into the (un)normalized accumulator
             ks_l = jax.lax.dynamic_index_in_dim(cache.cross_k_scale, l, 0, keepdims=False)
             vs_l = jax.lax.dynamic_index_in_dim(cache.cross_v_scale, l, 0, keepdims=False)
             qx = qx * ks_l.astype(qx.dtype)[None, None, :]
-        cross_attn = decode_attention_kT if transposed else decode_attention_layer
-        acc, m, lsum = cross_attn(
-            qx, cache.cross_k, cache.cross_v, l, t_enc, h,
-            batch_groups=batch_groups,
-        )
+        if transposed:
+            acc, m, lsum = decode_attention_kT(
+                qx, cache.cross_k, cache.cross_v, l, t_enc, h,
+                batch_groups=batch_groups, normalized=True,
+            )
+            a = acc  # normalized in-kernel
+        else:
+            acc, m, lsum = decode_attention_layer(
+                qx, cache.cross_k, cache.cross_v, l, t_enc, h,
+                batch_groups=batch_groups,
+            )
+            a = normalize(acc, lsum, h)
         if quantized_cross:
-            acc = acc * vs_l.astype(acc.dtype)[None, None, :]
-        a = normalize(acc, lsum, h).astype(compute.dtype)
-        x = x + apply_reduce_linear(bp["xattn_o"], a, compute)
+            a = a * vs_l.astype(a.dtype)[None, None, :]
+        x = x + apply_reduce_linear(bp["xattn_o"], a.astype(compute.dtype), compute)
 
         hdn = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
         x = x + apply_ffn(bp, hdn, cfg.gelu, compute)

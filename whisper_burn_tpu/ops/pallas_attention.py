@@ -46,7 +46,8 @@ H_PAD = 128  # lane width for the per-head m/l state
 
 def _kernel(
     scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest,
-    scale, kt, scaled, g, single_pass, hs, packed=False,
+    scale, kt, scaled, g, single_pass, hs, packed=False, fused_out=False,
+    merge_extra=False,
 ):
     """``scaled=True``: K/V blocks are int8 with per-token absmax scales in
     an extra ``[kt, 2]`` f32 operand (K scale in lane 0, V scale in lane 1)
@@ -66,8 +67,20 @@ def _kernel(
     to ``[hs, kt]`` head rows and ONE ``[hs, kt] @ [kt, D]`` MXU dot
     collapsed with a head mask — instead of the ``[kt, Hp] @ [Hp, D]``
     broadcast dot + elementwise reduce. Measured 96.4 -> 73.9 us/layer at
-    B=64/T=256/int8 (53% -> 70% of the HBM roofline), bit-identical."""
-    if scaled:
+    B=64/T=256/int8 (53% -> 70% of the HBM roofline), bit-identical.
+
+    ``fused_out=True`` (requires single_pass): ``acc`` holds the FINAL
+    normalized attention output — and with ``merge_extra=True`` two more
+    operands (the current token's raw K/V, not yet in the cache) are
+    flash-merged in-kernel — replacing the per-layer XLA epilogue
+    (flash_merge_extra_key / normalize, ~25 small ops per layer per
+    step)."""
+    if merge_extra:
+        if scaled:
+            kn_ref, vn_ref, sc_ref, acc_ref, m_ref, l_ref = rest
+        else:
+            kn_ref, vn_ref, acc_ref, m_ref, l_ref = rest
+    elif scaled:
         sc_ref, acc_ref, m_ref, l_ref = rest
     else:
         acc_ref, m_ref, l_ref = rest
@@ -116,7 +129,8 @@ def _kernel(
         if single_pass:
             m_new = jnp.max(s, axis=0, keepdims=True)
             p = jnp.where(in_range, jnp.exp(s - m_new), 0.0)  # [kt, Hp] f32
-            l_ref[i] = jnp.sum(p, axis=0, keepdims=True)
+            lsum = jnp.sum(p, axis=0, keepdims=True)
+            l_ref[i] = lsum
             m_ref[i] = m_new
             if scaled:
                 p = p * sc_ref[0, i, :, 1:2]
@@ -129,18 +143,42 @@ def _kernel(
                 rs = jnp.sum(pT.astype(jnp.float32), axis=1, keepdims=True)
                 pv_lo = jnp.dot(pT, v_lo, preferred_element_type=jnp.float32) - 8.0 * rs
                 pv_hi = jnp.dot(pT, v_hi, preferred_element_type=jnp.float32) - 8.0 * rs
-                acc_ref[i] = jnp.concatenate(
+                acc_val = jnp.concatenate(
                     [
                         jnp.sum(pv_lo * emat[:hs, :d2], axis=0, keepdims=True),
                         jnp.sum(pv_hi * emat[:hs, d2:], axis=0, keepdims=True),
                     ],
                     axis=1,
                 )
+            else:
+                v = v_ref[0, i].astype(qmat.dtype)
+                pv = jnp.dot(pT, v, preferred_element_type=jnp.float32)  # [hs, D]
+                # collapse head rows: acc[d] = pv[head(d), d]
+                acc_val = jnp.sum(pv * emat[:hs], axis=0, keepdims=True)
+
+            if not fused_out:
+                acc_ref[i] = acc_val
                 continue
-            v = v_ref[0, i].astype(qmat.dtype)
-            pv = jnp.dot(pT, v, preferred_element_type=jnp.float32)  # [hs, D]
-            # collapse head rows: acc[d] = pv[head(d), d]
-            acc_ref[i] = jnp.sum(pv * emat[:hs], axis=0, keepdims=True)
+            # fused epilogue: emat rows are one-hot over each head's dh
+            # lanes, so the f32 [1,Hp]@[Hp,D] dots below are EXACT
+            # per-head broadcasts (identical math to the XLA
+            # flash_merge_extra_key / normalize they replace)
+            emat32 = emat.astype(jnp.float32)
+            if merge_extra:
+                kn = kn_ref[i].astype(qmat.dtype)  # [1, D] current token K
+                vn = vn_ref[i].astype(jnp.float32)
+                s_e = jnp.dot(kn, qmat, preferred_element_type=jnp.float32) * scale
+                m2 = jnp.maximum(m_new, s_e)
+                alpha = jnp.exp(m_new - m2)  # [1, Hp]
+                beta = jnp.exp(s_e - m2)
+                l2 = lsum * alpha + beta
+                alpha_f = jnp.dot(alpha, emat32, preferred_element_type=jnp.float32)
+                beta_f = jnp.dot(beta, emat32, preferred_element_type=jnp.float32)
+                l2_f = jnp.dot(l2, emat32, preferred_element_type=jnp.float32)
+                acc_ref[i] = (acc_val * alpha_f + beta_f * vn) / l2_f
+            else:
+                l_f = jnp.dot(lsum, emat32, preferred_element_type=jnp.float32)
+                acc_ref[i] = acc_val / l_f
             continue
         v = v_ref[0, i].astype(qmat.dtype)
 
@@ -163,16 +201,24 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_heads", "kt", "g", "batch_groups", "interpret")
+    jax.jit,
+    static_argnames=(
+        "n_heads", "kt", "g", "batch_groups", "interpret", "fused_out",
+        "merge_extra",
+    ),
 )
-def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, g, batch_groups, interpret):
+def _decode_attn_call(
+    q, k4, v4, scalars, *extras,
+    n_heads, kt, g, batch_groups, interpret, fused_out=False, merge_extra=False,
+):
     l_dim, _, t, ds = k4.shape
     packed = k4.dtype == jnp.uint8  # int4 pairs packed along channels
     d = ds * 2 if packed else ds
     b = q.shape[0]  # stream count; k4 batch = b // batch_groups
     dh = d // n_heads
     scale = 1.0 / np.sqrt(dh)
-    scaled = bool(scales)
+    # extras = (k_new, v_new)? + (kv_scale4)?
+    scaled = len(extras) > (2 if merge_extra else 0)
 
     head_of_d = np.arange(d) // dh  # [D]
     dmask = head_of_d[:, None] == np.arange(H_PAD)[None, :]  # [D, Hp]
@@ -201,6 +247,11 @@ def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, g, batch_groups,
             pl.BlockSpec((H_PAD, d), lambda b, s, sc: (0, 0), memory_space=pltpu.VMEM),
             kv_spec,
             kv_spec,
+            *(
+                [pl.BlockSpec((g, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM)] * 2
+                if merge_extra
+                else []
+            ),
             *([sc_spec] if scaled else []),
         ],
         out_specs=(
@@ -213,6 +264,7 @@ def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, g, batch_groups,
         functools.partial(
             _kernel, scale=scale, kt=kt, scaled=scaled, g=g,
             single_pass=single_pass, hs=hs, packed=packed,
+            fused_out=fused_out, merge_extra=merge_extra,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -225,7 +277,7 @@ def _decode_attn_call(q, k4, v4, scalars, *scales, n_heads, kt, g, batch_groups,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(scalars, qmat, emat, k4, v4, *scales)
+    )(scalars, qmat, emat, k4, v4, *extras)
     return acc, m[..., :n_heads], l[..., :n_heads]
 
 
@@ -296,6 +348,56 @@ def decode_attention_unnormalized(
     )
 
 
+def decode_attention_merged(
+    q: jnp.ndarray,  # [B, 1, D]
+    k4: jnp.ndarray,  # [L, B, T, D(/2)] layered self cache
+    v4: jnp.ndarray,
+    layer: jnp.ndarray,
+    valid_len: jnp.ndarray,
+    n_heads: int,
+    k_new: jnp.ndarray,  # [B, 1, D] current token's raw K (not yet cached)
+    v_new: jnp.ndarray,
+    *,
+    kv_scale4: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray | None:
+    """Self-attention decode step with the whole epilogue in-kernel.
+
+    Returns the FINAL normalized attention output ``[B, 1, D]`` f32 — the
+    current token's K/V flash-merged and the softmax normalization applied
+    inside the single-pass kernel — replacing the per-layer XLA
+    ``flash_merge_extra_key`` chain (~25 small ops/layer/step). None when
+    the shape isn't single-tile (caller uses the two-stage path).
+    """
+    _, kb, t, ds = k4.shape
+    packed = k4.dtype == jnp.uint8
+    d = ds * 2 if packed else ds
+    if d % n_heads != 0 or q.shape != (kb, 1, d) or n_heads > H_PAD:
+        return None
+    kt = _largest_tile(t)
+    if kt != t:
+        return None  # epilogue fusion needs the one-shot softmax
+    b = q.shape[0]
+    g = 1
+    budget = 8 * 1024 * 1024
+    for cand in (8, 4, 2):
+        if b % cand == 0 and cand * kt * ds * k4.dtype.itemsize <= budget:
+            g = cand
+            break
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    scalars = jnp.stack(
+        [jnp.asarray(layer, jnp.int32), jnp.asarray(valid_len, jnp.int32)]
+    )
+    extras = (k_new, v_new) + (() if kv_scale4 is None else (kv_scale4,))
+    out, _, _ = _decode_attn_call(
+        q, k4, v4, scalars, *extras,
+        n_heads=n_heads, kt=kt, g=g, batch_groups=1, interpret=interpret,
+        fused_out=True, merge_extra=True,
+    )
+    return out
+
+
 def _largest_tile(t: int) -> int | None:
     # tiles must be sublane-aligned (divisible by 8) per Mosaic block rules
     for kt in (512, 384, 256, 128, 64, 32, 16, 8):
@@ -308,7 +410,7 @@ HS = 32  # head-rows padding (sublane grain) for the kT kernel
 _KT_VMEM_LIMIT = 4 * 1024 * 1024  # per-operand block budget, bytes
 
 
-def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_ref, *, scale, packed, g, t):
+def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_ref, *, scale, packed, g, t, normalized=False):
     """Single-pass decode attention with transposed keys.
 
     The v1 kernel (:func:`_kernel`) pads H=20 heads to 128 lanes, so both
@@ -374,6 +476,10 @@ def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_r
         else:
             v = v_ref[0, i].astype(qh.dtype)  # [T, D]
             pv = jnp.dot(pc, v, preferred_element_type=jnp.float32)  # [HS, D]
+        if normalized:
+            # softmax normalization in-kernel: one VPU divide per head row
+            # (replaces the XLA `normalize` repeat+divide epilogue)
+            pv = pv / l
         # collapse head rows: out[d] = pv[head(d), d]
         acc_ref[i] = jnp.sum(pv * hmask_ref[:], axis=0, keepdims=True)  # [1, D]
         m_ref[i] = m
@@ -381,9 +487,9 @@ def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_r
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_heads", "g", "batch_groups", "interpret")
+    jax.jit, static_argnames=("n_heads", "g", "batch_groups", "interpret", "normalized")
 )
-def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, g, batch_groups, interpret):
+def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, g, batch_groups, interpret, normalized=False):
     l_dim, _, ds, t = kT4.shape  # ds = stored channel count (D/2 when packed)
     packed = kT4.dtype == jnp.uint8
     d = ds * 2 if packed else ds
@@ -421,7 +527,9 @@ def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, g, batch_groups, interpret):
         ),
     )
     acc, m, l = pl.pallas_call(
-        functools.partial(_kt_kernel, scale=scale, packed=packed, g=g, t=t),
+        functools.partial(
+            _kt_kernel, scale=scale, packed=packed, g=g, t=t, normalized=normalized
+        ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
@@ -459,8 +567,13 @@ def decode_attention_kT(
     *,
     batch_groups: int = 1,
     interpret: bool | None = None,
+    normalized: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None:
     """Transposed-key decode attention (see :func:`_kt_kernel`).
+
+    ``normalized=True``: ``acc`` is the final softmax-normalized output
+    (the in-kernel divide replaces the XLA ``normalize`` epilogue; ``m``/
+    ``l`` are still returned for interface parity but already applied).
 
     Same contract as :func:`decode_attention_layer` — returns unnormalized
     ``(acc [B*G,1,D] f32, m [B*G,1,H], l [B*G,1,H])`` or None when the
@@ -497,6 +610,7 @@ def decode_attention_kT(
     return _kt_attn_call(
         q, kT4, v4, scalars,
         n_heads=n_heads, g=g, batch_groups=batch_groups, interpret=interpret,
+        normalized=normalized,
     )
 
 
