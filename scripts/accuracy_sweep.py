@@ -56,7 +56,11 @@ def run_sweep(
     batch: int,
     backend: str,
     on_seed=None,
+    rows: str = "all",
 ):
+    """``rows``: "all" | "serving" | "weight" | "struct" — subset selection
+    so a single axis can be re-swept without the full multi-hour run (the
+    matched f32/Q4 Large-V3 fixtures are host-generation-bound)."""
     cfg = {
         "large_v3": WhisperConfig.large_v3,
         "turbo": WhisperConfig.large_v3_turbo,
@@ -85,14 +89,25 @@ def run_sweep(
     }
     ref_compute = Compute.parity().replace(backend=KernelBackend.XLA)
 
-    acc: dict[str, list] = {k: [] for k in variants}
-    acc["weight_q4"] = []  # diagnostic: q4@f32 vs f32@f32, iid weights
-    acc["weight_q4_struct"] = []  # floored: same axis on the peaked fixture
+    do_serving = rows in ("all", "serving")
+    do_weight = rows in ("all", "weight")
+    do_struct = rows in ("all", "struct")
+    acc: dict[str, list] = {k: [] for k in variants} if do_serving else {}
+    if do_weight:
+        acc["weight_q4"] = []  # diagnostic: q4@f32 vs f32@f32, iid weights
+    if do_struct:
+        acc["weight_q4_struct"] = []  # floored: same axis, peaked fixture
     for seed in range(seeds):
         t0 = time.time()
         # matched f32/Q4 pairs: same rng stream -> identical float weights
-        params_f32 = random_params(cfg, seed=seed, quantized=False)
-        params_q4 = random_params(cfg, seed=seed, quantized=True)
+        params_f32 = (
+            random_params(cfg, seed=seed, quantized=False) if do_weight else None
+        )
+        params_q4 = (
+            random_params(cfg, seed=seed, quantized=True)
+            if (do_serving or do_weight)
+            else None
+        )
         rng = np.random.default_rng(1000 + seed)
         mel = jnp.asarray(
             rng.standard_normal((batch, cfg.n_mels, cfg.n_audio_ctx * 2)).astype(
@@ -106,47 +121,49 @@ def run_sweep(
 
         # reference B: SAME Q4 weights at f32 compute — the serving floors
         # measure KV/compute numerics in isolation against this
-        refq_tokens, refq_lg, refq_valid = reference_run(
-            params_q4, cfg, mel, langs, ref_compute, steps
-        )
-        from whisper_burn_tpu.transcribe import quantize_logit_embedding
-
-        params_q4_qlog = {
-            **params_q4,
-            "decoder": {
-                **params_q4["decoder"],
-                "tok_emb_q": quantize_logit_embedding(
-                    params_q4["decoder"]["tok_emb"]
-                ),
-            },
-        }
-        from whisper_burn_tpu.models.params import attach_w8a8
-
-        params_q4_w8 = attach_w8a8(params_q4)
-        for name, comp in variants.items():
-            if comp.quantized_logits:
-                p = params_q4_qlog
-            elif comp.w8a8:
-                p = params_q4_w8
-            else:
-                p = params_q4
-            row = compare_variant(
-                refq_lg, refq_valid, p, cfg, mel, langs, refq_tokens,
-                comp, steps,
+        if do_serving:
+            refq_tokens, refq_lg, refq_valid = reference_run(
+                params_q4, cfg, mel, langs, ref_compute, steps
             )
-            acc[name].append(dict(seed=seed, **row))
-        del params_q4_w8
+        if do_serving:
+            from whisper_burn_tpu.transcribe import quantize_logit_embedding
+
+            params_q4_qlog = {
+                **params_q4,
+                "decoder": {
+                    **params_q4["decoder"],
+                    "tok_emb_q": quantize_logit_embedding(
+                        params_q4["decoder"]["tok_emb"]
+                    ),
+                },
+            }
+            from whisper_burn_tpu.models.params import attach_w8a8
+
+            params_q4_w8 = attach_w8a8(params_q4)
+            for name, comp in variants.items():
+                if comp.quantized_logits:
+                    p = params_q4_qlog
+                elif comp.w8a8:
+                    p = params_q4_w8
+                else:
+                    p = params_q4
+                row = compare_variant(
+                    refq_lg, refq_valid, p, cfg, mel, langs, refq_tokens,
+                    comp, steps,
+                )
+                acc[name].append(dict(seed=seed, **row))
+            del params_q4_w8, params_q4_qlog
 
         # reference A: f32 weights — the weight-quantization diagnostic
-        ref_tokens, ref_lg, valid = reference_run(
-            params_f32, cfg, mel, langs, ref_compute, steps
-        )
-        row = compare_variant(
-            ref_lg, valid, params_q4, cfg, mel, langs, ref_tokens,
-            ref_compute, steps,
-        )
-        del params_q4_qlog
-        acc["weight_q4"].append(dict(seed=seed, **row))
+        if do_weight:
+            ref_tokens, ref_lg, valid = reference_run(
+                params_f32, cfg, mel, langs, ref_compute, steps
+            )
+            row = compare_variant(
+                ref_lg, valid, params_q4, cfg, mel, langs, ref_tokens,
+                ref_compute, steps,
+            )
+            acc["weight_q4"].append(dict(seed=seed, **row))
         # each seed materializes ~8 GB of host arrays (f32 + Q4 params);
         # free them before the next seed or the host OOM-kills around
         # seed 4 (observed) long before the device runs out
@@ -158,18 +175,19 @@ def run_sweep(
         # weight axis, measurable: the structured fixture's peaked logit
         # surface (models/params.structured_params) makes argmax agreement
         # reflect weight quantization, not tie-breaking (VERDICT r2 item 6)
-        params_f32s = structured_params(cfg, seed=seed, quantized=False)
-        params_q4s = structured_params(cfg, seed=seed, quantized=True)
-        refs_tokens, refs_lg, refs_valid = reference_run(
-            params_f32s, cfg, mel, langs, ref_compute, steps
-        )
-        row = compare_variant(
-            refs_lg, refs_valid, params_q4s, cfg, mel, langs, refs_tokens,
-            ref_compute, steps,
-        )
-        acc["weight_q4_struct"].append(dict(seed=seed, **row))
-        del params_f32s, params_q4s
-        gc.collect()
+        if do_struct:
+            params_f32s = structured_params(cfg, seed=seed, quantized=False)
+            params_q4s = structured_params(cfg, seed=seed, quantized=True)
+            refs_tokens, refs_lg, refs_valid = reference_run(
+                params_f32s, cfg, mel, langs, ref_compute, steps
+            )
+            row = compare_variant(
+                refs_lg, refs_valid, params_q4s, cfg, mel, langs, refs_tokens,
+                ref_compute, steps,
+            )
+            acc["weight_q4_struct"].append(dict(seed=seed, **row))
+            del params_f32s, params_q4s
+            gc.collect()
 
         print(
             f"seed {seed} done in {time.time() - t0:.1f}s: "
@@ -263,6 +281,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--out", default="ACCURACY")
+    ap.add_argument("--rows", default="all",
+                    choices=["all", "serving", "weight", "struct"])
     args = ap.parse_args()
 
     from whisper_burn_tpu.transcribe import enable_compilation_cache
@@ -273,6 +293,7 @@ def main():
     result = run_sweep(
         args.config, args.seeds, args.steps, args.batch, args.backend,
         on_seed=lambda partial: write_outputs(partial, args.out),
+        rows=args.rows,
     )
     write_outputs(result, args.out)
     print(json.dumps({k: v["token_agreement_mean"] for k, v in result["variants"].items()}))

@@ -157,7 +157,7 @@ def random_params(
 
 
 def structured_params(
-    cfg: WhisperConfig, seed: int = 0, *, quantized: bool = True, v_eff: int = 1024
+    cfg: WhisperConfig, seed: int = 0, *, quantized: bool = True, v_eff: int = 64
 ) -> Params:
     """Accuracy-fixture params with a PEAKED logit surface (VERDICT r2 item 6).
 
@@ -171,7 +171,11 @@ def structured_params(
       amplified multiplicatively through 32 random layers;
     * the token embedding concentrates mass in the first ``v_eff`` rows
       (anchors at ~20x the tail norm): logits are peaked over an effective
-      vocabulary, so only *meaningful* drift flips an argmax.
+      vocabulary, so only *meaningful* drift flips an argmax. ``v_eff``
+      is kept SMALL (64): top-2 margins among n near-gaussian anchor
+      projections shrink as n grows — at v_eff=1024 one real-dims seed
+      collapsed to tie-breaking noise (0.25 agreement) while another read
+      0.98 with the same logit drift.
 
     ``quantized`` selects the member of a matched f32/Q4 pair (same rng
     stream -> identical float weights, like :func:`random_params`).
