@@ -73,9 +73,13 @@ def main() -> None:
         "int8": Compute.fastest(),
         "int4": Compute.fastest(kv_bits=4),
     }[kv]
-    if os.environ.get("BENCH_LOGITS", "bf16") == "int8":
+    # round-3 serving defaults: both cleared the 0.90 real-dims accuracy
+    # floor at 0.949 (ACCURACY.md rows q4_int4kv_q8log / q4_w8a8). W8A8
+    # REPLACES the encoder's Q4 copies (attach_w8a8 replace mode) so the
+    # footprint matches the non-w8a8 config — keeping both OOM'd B=128.
+    if os.environ.get("BENCH_LOGITS", "int8") == "int8":
         compute = compute.replace(quantized_logits=True)
-    if os.environ.get("BENCH_W8A8", "0") == "1":
+    if os.environ.get("BENCH_W8A8", "1") == "1":
         compute = compute.replace(w8a8=True)
     if os.environ.get("BENCH_SELFKV", "int8") == "int4":
         compute = compute.replace(self_kv_bits=4)

@@ -245,14 +245,21 @@ def _w8_from_q4(qw: np.ndarray, scales: np.ndarray) -> tuple[np.ndarray, np.ndar
     return qw8, s8
 
 
-def attach_w8a8(params: Params) -> Params:
+def attach_w8a8(params: Params, replace: bool = True) -> Params:
     """Add int8 per-column weight copies for the large-M matmul surfaces.
 
     Covers every quantized encoder-block linear plus the decoder's
     cross-KV projections (the crossfill runs at M = B*1500) — the shapes
     where ops/linear routes through :func:`~whisper_burn_tpu.ops.linear.
     w8a8_matmul` when ``compute.w8a8`` is set. Decode-step matmuls
-    (M = B) stay on the bandwidth-optimal Q4 Pallas path untouched."""
+    (M = B) stay on the bandwidth-optimal Q4 Pallas path untouched.
+
+    ``replace=True`` (the serving default) drops the Q4 codes/scales from
+    the augmented tensors: these surfaces only ever run at M >= 1500 where
+    the w8a8 path always serves them, so keeping both copies would cost
+    ~0.73 GB of HBM for nothing (it OOM'd the B=128 headline). The net
+    footprint with replace is the same as without w8a8 at all (int8 codes
+    either way; the f32 group scales are even freed)."""
 
     def augment_blocks(blocks: Params, names) -> Params:
         out = {k: v for k, v in blocks.items()}
@@ -262,6 +269,10 @@ def attach_w8a8(params: Params) -> Params:
                 continue
             qw8, s8 = _w8_from_q4(np.asarray(p["qw"]), np.asarray(p["scales"]))
             out[name] = {**p, "qw8": qw8, "s8": s8}
+            if replace:
+                out[name] = {
+                    k: v for k, v in out[name].items() if k not in ("qw", "scales")
+                }
         return out
 
     enc_names = ("attn_qkv", "attn_q", "attn_k", "attn_v", "attn_o", "fc1", "fc2")

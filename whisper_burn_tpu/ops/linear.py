@@ -56,9 +56,13 @@ def w8a8_matmul(
 
 
 def _matmul(params: dict, x: jnp.ndarray, compute: Compute) -> jnp.ndarray:
+    if "qw8" in params and (
+        "qw" not in params or (compute.w8a8 and _rows(x) >= LARGE_M)
+    ):
+        # qw8-only params (attach_w8a8 replace mode) always take this
+        # path — those surfaces are large-M by construction
+        return w8a8_matmul(x, params["qw8"], params["s8"], compute)
     if "qw" in params:
-        if compute.w8a8 and "qw8" in params and _rows(x) >= LARGE_M:
-            return w8a8_matmul(x, params["qw8"], params["s8"], compute)
         return q4_matmul(x, params["qw"], params["scales"], compute)
     return jnp.matmul(
         x.astype(compute.dtype),
