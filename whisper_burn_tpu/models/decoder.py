@@ -104,6 +104,12 @@ def init_cache(
     else:
         ck = z(stored_t, kv_dt)
     self_dt = compute.self_kv_storage_dtype
+    if self_kt_layout(cfg, compute, ctx):
+        # transposed self keys [L, B, D, T] + scales [L, B, 2, T] for the
+        # fused self-kT kernel; values stay natural
+        sk = jnp.zeros((l, batch, d, ctx), self_dt)
+        ssc = jnp.zeros((l, batch, 2, ctx), jnp.float32)
+        return KVCache(sk, zs(ctx, self_dt), ck, z(stored_t, kv_dt), *sc, ssc)
     ssc = (
         jnp.zeros((l, batch, ctx, 2), jnp.float32)
         if compute.quantized_self_kv
@@ -123,6 +129,48 @@ def cross_cache_len(cfg: WhisperConfig, compute: Compute) -> int:
         return -(-t // 2) * 2 if compute.kv_packed else t
     align = 512 if t >= 512 else 8
     return -(-t // align) * align
+
+
+def _flash_cross_ok(cfg: WhisperConfig, compute: Compute) -> bool:
+    """Static check that the flash decode path can serve cross-attention
+    (mirrors the cross-side conditions of :func:`_flash_supported`, but
+    computable without a cache — cross_cache_len is config-derived)."""
+    from whisper_burn_tpu.ops.pallas_attention import H_PAD, _largest_tile
+
+    h_loc = cfg.n_text_head // compute.tp
+    d_loc = cfg.n_text_state // compute.tp
+    if h_loc > H_PAD or h_loc == 0 or d_loc % h_loc != 0:
+        return False
+    if cross_kt_layout(cfg, compute):
+        return True
+    if compute.kv_packed:
+        return False
+    return _largest_tile(cross_cache_len(cfg, compute)) is not None
+
+
+def self_kt_layout(cfg: WhisperConfig, compute: Compute, ctx: int) -> bool:
+    """True when the int8 self-KEY cache is stored transposed [L, B, D, T]
+    for the fused self-kT decode kernel (decode_self_attention_kT):
+    heads ride sublanes in the scores matmul and the whole epilogue
+    (extra-key merge + normalize) runs in-kernel. Per-token scales are then
+    stored [L, B, 2, T]. The layout and every reader/writer (init_cache,
+    prefill, the decode step) must agree, so all derive from this one
+    predicate. int4-packed self caches keep the v1 layout.
+
+    Requires :func:`_flash_cross_ok`: the transposed cache only works on
+    the flash decode path, so the layout must never be chosen for a config
+    that would fall back to XLA attention."""
+    from whisper_burn_tpu.ops.pallas_attention import selfkt_kernel_supported
+
+    if not compute.use_pallas:
+        return False
+    if not compute.quantized_self_kv or compute.self_kv_packed:
+        return False
+    if not _flash_cross_ok(cfg, compute):
+        return False
+    return selfkt_kernel_supported(
+        ctx, cfg.n_text_state // compute.tp, cfg.n_text_head // compute.tp
+    )
 
 
 def cross_kt_layout(cfg: WhisperConfig, compute: Compute) -> bool:
@@ -416,18 +464,35 @@ def prefill(
     )
 
     sl = (slice(None), slice(None), slice(pos_offset, pos_offset + t))
+    self_kt = self_kt_layout(cfg, compute, cache.self_v.shape[2])
     if compute.quantized_self_kv:
         quant = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
         ks, ksc = quant(ks)
         vs, vsc = quant(vs)
         kvsc = jnp.concatenate([ksc, vsc], axis=-1)  # [L, B, t, 2]
+        if self_kt:  # scales stored [L, B, 2, T]
+            kvsc = jnp.swapaxes(kvsc, 2, 3)
+            cache = cache._replace(
+                self_kv_scale=cache.self_kv_scale.at[
+                    :, :, :, pos_offset : pos_offset + t
+                ].set(kvsc),
+            )
+        else:
+            cache = cache._replace(
+                self_kv_scale=cache.self_kv_scale.at[sl].set(kvsc),
+            )
+    if self_kt:  # keys stored [L, B, D, T]
         cache = cache._replace(
-            self_kv_scale=cache.self_kv_scale.at[sl].set(kvsc),
+            self_k=cache.self_k.at[:, :, :, pos_offset : pos_offset + t].set(
+                jnp.swapaxes(ks, 2, 3).astype(cache.self_k.dtype)
+            ),
+            self_v=cache.self_v.at[sl].set(vs.astype(cache.self_v.dtype)),
         )
-    cache = cache._replace(
-        self_k=cache.self_k.at[sl].set(ks.astype(cache.self_k.dtype)),
-        self_v=cache.self_v.at[sl].set(vs.astype(cache.self_v.dtype)),
-    )
+    else:
+        cache = cache._replace(
+            self_k=cache.self_k.at[sl].set(ks.astype(cache.self_k.dtype)),
+            self_v=cache.self_v.at[sl].set(vs.astype(cache.self_v.dtype)),
+        )
     logits = _logits(dec, x[:, -1], cfg, compute)
     return logits, cache
 
@@ -467,9 +532,10 @@ def decode_step(
     mask = length_mask(pos + 1, cache.self_k.shape[2])  # keys beyond pos are padding
     cross_t = cross_cache_len(cfg, compute)  # logical length (packed stores T/2)
     transposed = cross_kt_layout(cfg, compute)
-    # (kT layout implies the flash path was taken above; grouped XLA
-    # attention only ever sees the natural [B, T, D] cross layout)
+    # (kT layouts imply the flash path was taken above; XLA attention only
+    # ever sees natural [B, T, D] caches)
     assert not (batch_groups > 1 and transposed)
+    assert not self_kt_layout(cfg, compute, cache.self_v.shape[2])
     cross_mask = (
         length_mask(jnp.asarray(cfg.n_audio_ctx), cross_t)
         if cross_t != cfg.n_audio_ctx
@@ -555,8 +621,10 @@ def _flash_supported(cfg: WhisperConfig, cache: KVCache, compute: Compute) -> bo
     d_loc = cfg.n_text_state // compute.tp
     if h_loc > H_PAD or h_loc == 0 or d_loc % h_loc != 0:
         return False
-    ctx = cache.self_k.shape[2]
-    if _largest_tile(ctx) is None:
+    ctx = cache.self_v.shape[2]  # self_k may be transposed (self_kt_layout)
+    if self_kt_layout(cfg, compute, ctx):
+        pass  # the fused self-kT kernel serves self-attention
+    elif _largest_tile(ctx) is None:
         return False
     if compute.self_kv_packed and _largest_tile(ctx) != ctx:
         return False  # int4 self unpack only in the single-pass kernel
@@ -585,12 +653,14 @@ def _decode_step_flash(
         decode_attention_kT,
         decode_attention_layer,
         decode_attention_merged,
+        decode_self_attention_kT,
         flash_merge_extra_key,
         normalize,
     )
 
     dec = params["decoder"]
     h = cfg.n_text_head // compute.tp  # per-shard heads under TP
+    self_kt = self_kt_layout(cfg, compute, cache.self_v.shape[2])
     t_enc = jnp.asarray(cfg.n_audio_ctx, jnp.int32)  # padded tail is masked
     layer_idx = jnp.arange(cfg.n_text_layer)
     quantized_cross = cache.cross_k_scale is not None
@@ -598,19 +668,29 @@ def _decode_step_flash(
     # single-tile ctx (the serving right-sized cache): the kernels carry
     # the whole epilogue — extra-key flash merge and normalization happen
     # in-VMEM instead of ~25 small XLA ops per layer per step
-    ctx_single_tile = _largest_tile(cache.self_k.shape[2]) == cache.self_k.shape[2]
+    ctx_single_tile = (
+        _largest_tile(cache.self_v.shape[2]) == cache.self_v.shape[2]
+    )
 
     def block(x, xs):
         bp, l = xs
 
         hdn = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
         q, k_new, v_new = qkv_proj(bp, hdn, compute)
-        # NOTE: a heads-on-sublanes variant (like the cross kT kernel) was
-        # measured SLOWER here — the natural [kt, D] key layout makes the
-        # scores a lanes-x-lanes contraction that Mosaic must transpose,
-        # while the v1 lane-padded form feeds the MXU directly.
         a = None
-        if ctx_single_tile and batch_groups == 1:
+        if self_kt:
+            # fused self-kT kernel: transposed keys (heads on sublanes),
+            # whole epilogue in-VMEM — 65.5 us/layer vs the v1 merged
+            # kernel's 103+ (scripts/exp_self_kernel.py). The earlier
+            # heads-on-sublanes attempt was slower only because it kept
+            # the cache time-major and transposed in-kernel; the cache is
+            # now STORED [L, B, D, T] (see self_kt_layout).
+            a = decode_self_attention_kT(
+                q, cache.self_k, cache.self_v, cache.self_kv_scale,
+                l, pos, h, k_new, v_new,
+            )
+            assert a is not None  # layout predicate == kernel support
+        if a is None and ctx_single_tile and batch_groups == 1:
             a = decode_attention_merged(
                 q, cache.self_k, cache.self_v, l, pos, h, k_new, v_new,
                 kv_scale4=cache.self_kv_scale,
@@ -658,14 +738,31 @@ def _decode_step_flash(
         quant = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
         ks, ksc = quant(ks)  # [L, B, 1, D(/2)] + [L, B, 1, 1]
         vs, vsc = quant(vs)
-        cache = cache._replace(
-            self_kv_scale=jax.lax.dynamic_update_slice(
-                cache.self_kv_scale, jnp.concatenate([ksc, vsc], axis=-1), (0, 0, pos, 0)
-            ),
+        if self_kt:  # scales stored [L, B, 2, T]: K row 0, V row 1
+            cache = cache._replace(
+                self_kv_scale=jax.lax.dynamic_update_slice(
+                    cache.self_kv_scale,
+                    jnp.concatenate([ksc, vsc], axis=2),  # [L, B, 2, 1]
+                    (0, 0, 0, pos),
+                ),
+            )
+        else:
+            cache = cache._replace(
+                self_kv_scale=jax.lax.dynamic_update_slice(
+                    cache.self_kv_scale, jnp.concatenate([ksc, vsc], axis=-1), (0, 0, pos, 0)
+                ),
+            )
+    if self_kt:
+        # [D, 1] lane-column write into the transposed key cache — measured
+        # 5.4x FASTER than the natural [1, D] row write (exp_self_kernel)
+        sk = jax.lax.dynamic_update_slice(
+            cache.self_k, jnp.swapaxes(ks, 2, 3).astype(cache.self_k.dtype),
+            (0, 0, 0, pos),
         )
-    sk = jax.lax.dynamic_update_slice(
-        cache.self_k, ks.astype(cache.self_k.dtype), (0, 0, pos, 0)
-    )
+    else:
+        sk = jax.lax.dynamic_update_slice(
+            cache.self_k, ks.astype(cache.self_k.dtype), (0, 0, pos, 0)
+        )
     sv = jax.lax.dynamic_update_slice(
         cache.self_v, vs.astype(cache.self_v.dtype), (0, 0, pos, 0)
     )
