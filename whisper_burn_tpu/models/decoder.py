@@ -23,6 +23,7 @@ TPU design (the deliberate departures, SURVEY §7.3):
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -159,9 +160,21 @@ def self_kt_layout(cfg: WhisperConfig, compute: Compute, ctx: int) -> bool:
 
     Requires :func:`_flash_cross_ok`: the transposed cache only works on
     the flash decode path, so the layout must never be chosen for a config
-    that would fall back to XLA attention."""
+    that would fall back to XLA attention.
+
+    OPT-IN (WB_SELFKT=1): profiled on the real chip, the kernel itself is
+    faster (2.06 vs 2.73 ms/step at B=64, 65 vs 85 us/layer) but the
+    per-step [D, 1] lane-column cache write costs 7.2 ms/step vs 0.35 for
+    the natural row write — a masked read-modify-write across every
+    (32, 128) int8 tile of the key cache. (The earlier "5.4x faster"
+    write measurement in scripts/exp_self_kernel.py was an artifact of
+    enqueue-time sync on this backend.) Net -6.5 ms/step, so the layout
+    stays off until the write is amortized (e.g. a natural-layout recent
+    ring flushed every 128 steps)."""
     from whisper_burn_tpu.ops.pallas_attention import selfkt_kernel_supported
 
+    if os.environ.get("WB_SELFKT", "0") != "1":  # opt-in: see docstring
+        return False
     if not compute.use_pallas:
         return False
     if not compute.quantized_self_kv or compute.self_kv_packed:

@@ -717,10 +717,12 @@ def decode_self_attention_kT(
 
     Returns the final normalized attention output ``[B, 1, D]`` f32, or
     None when the shape is unsupported (caller falls back to the v1
-    kernels). The transposed-K layout costs nothing at write time — the
-    per-step [D, 1] lane-column ``dynamic_update_slice`` measured 5.4x
-    FASTER than the natural [1, D] row write (67.9 vs 366.8 us/step over
-    32 layers, scripts/exp_self_kernel.py ktwrite).
+    kernels). CAUTION: the transposed layout makes the per-step [D, 1]
+    lane-column cache write expensive (7.2 ms/step at B=64 on the real
+    chip — a masked RMW across every (32, 128) int8 tile of the key
+    cache; the earlier 5.4x-faster ktwrite measurement was an
+    enqueue-sync artifact), so ``self_kt_layout`` keeps this path opt-in
+    (WB_SELFKT=1) until the write is amortized.
     """
     l_dim, kb, d, t = kT4.shape
     if v4.shape != (l_dim, kb, t, d) or q.shape != (kb, 1, d):
