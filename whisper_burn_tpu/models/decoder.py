@@ -648,6 +648,36 @@ def _flash_supported(cfg: WhisperConfig, cache: KVCache, compute: Compute) -> bo
     return _largest_tile(cache.cross_v.shape[2]) is not None
 
 
+def _st_lin_ok(st, m: int) -> bool:
+    """Static check: this linear's stacked [L, K, N] weights are servable
+    by the layer-indexed Pallas matmul (ops/pallas_q4._q4_matmul_2d_stacked)."""
+    if not isinstance(st, dict) or "qw" not in st or st["qw"].ndim != 3:
+        return False
+    _, k, n = st["qw"].shape
+    return m <= 256 and k % 256 == 0 and any(n % c == 0 for c in (512, 256, 128))
+
+
+def _st_ffn_ok(fc1, fc2, m: int) -> bool:
+    """Static check for the layer-indexed fused FFN kernel."""
+    from whisper_burn_tpu.ops.pallas_ffn import BF
+
+    if not isinstance(fc1, dict) or "qw" not in fc1 or fc1["qw"].ndim != 3:
+        return False
+    if "b" not in fc1 or "b" not in fc2:
+        return False
+    l_dim, d, f = fc1["qw"].shape
+    return (
+        m <= 256 and f % BF == 0 and "qw" in fc2 and fc2["qw"].shape == (l_dim, f, d)
+    )
+
+
+def _prune_scanned(st: dict) -> dict:
+    """Scan-xs view of a linear whose weights go through a stacked kernel:
+    only the bias is sliced per layer (the qw/scales slices would otherwise
+    materialize ~1.3 ms/step of per-layer weight copies at B=64)."""
+    return {k: v for k, v in st.items() if k == "b"}
+
+
 def _decode_step_flash(
     params: Params,
     cfg: WhisperConfig,
@@ -660,7 +690,12 @@ def _decode_step_flash(
     """Flash-decode path: the Pallas kernel reads the layered cache in place
     (scalar-prefetched layer index), the current token is flash-merged as an
     extra key, and the cache update is ONE deferred dynamic_update_slice per
-    K/V — the per-step cache traffic is exactly one read of the live keys."""
+    K/V — the per-step cache traffic is exactly one read of the live keys.
+
+    The block matmuls likewise take layer-indexed stacked-weight kernels
+    (scalar-prefetched, ops/pallas_q4 + ops/pallas_ffn): letting lax.scan
+    slice the quantized weights per layer costs a dynamic-slice copy + pad
+    of every weight every step (~1.3 ms/step at B=64, profiled 2026-08)."""
     from whisper_burn_tpu.ops.pallas_attention import (
         _largest_tile,
         decode_attention_kT,
@@ -685,11 +720,52 @@ def _decode_step_flash(
         _largest_tile(cache.self_v.shape[2]) == cache.self_v.shape[2]
     )
 
+    from whisper_burn_tpu.ops.pallas_ffn import fused_ffn_pallas_stacked
+    from whisper_burn_tpu.ops.pallas_q4 import q4_matmul_pallas_stacked
+
+    blocks = dec["blocks"]
+    m_rows = x.shape[0]  # decode x is [B, 1, D]
+    st_ok = {
+        name: compute.use_pallas and _st_lin_ok(blocks.get(name), m_rows)
+        for name in ("attn_qkv", "attn_o", "xattn_q", "xattn_o")
+    }
+    st_ffn = compute.use_pallas and _st_ffn_ok(
+        blocks.get("fc1"), blocks.get("fc2"), m_rows
+    )
+
+    def st_lin(name, bp, l, xin):
+        """Stacked-kernel linear when servable, else the per-layer slice
+        path (bp then carries the full sliced params)."""
+        if st_ok[name]:
+            st = blocks[name]
+            y = q4_matmul_pallas_stacked(xin, st["qw"], st["scales"], l, compute)
+            assert y is not None  # _st_lin_ok mirrors the kernel's checks
+            b = bp[name].get("b")
+            return y + b.astype(y.dtype) if b is not None else y
+        return apply_linear(bp[name], xin, compute)
+
+    def st_reduce_lin(name, bp, l, xin):
+        """Row-parallel stacked linear: matmul -> psum over tp -> + bias."""
+        if not st_ok[name]:
+            return apply_reduce_linear(bp[name], xin, compute)
+        st = blocks[name]
+        y = q4_matmul_pallas_stacked(xin, st["qw"], st["scales"], l, compute)
+        assert y is not None
+        if compute.tp_axis is not None:
+            y = jax.lax.psum(y, compute.tp_axis)
+        b = bp[name].get("b")
+        return y + b.astype(y.dtype) if b is not None else y
+
     def block(x, xs):
         bp, l = xs
 
         hdn = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
-        q, k_new, v_new = qkv_proj(bp, hdn, compute)
+        if st_ok["attn_qkv"]:
+            y = st_lin("attn_qkv", bp, l, hdn)
+            d3 = y.shape[-1] // 3
+            q, k_new, v_new = y[..., :d3], y[..., d3 : 2 * d3], y[..., 2 * d3 :]
+        else:
+            q, k_new, v_new = qkv_proj(bp, hdn, compute)
         a = None
         if self_kt:
             # fused self-kT kernel: transposed keys (heads on sublanes),
@@ -714,10 +790,10 @@ def _decode_step_flash(
                 kv_scale4=cache.self_kv_scale,
             )
             a = flash_merge_extra_key(acc, m, lsum, q, k_new, v_new, h)
-        x = x + apply_reduce_linear(bp["attn_o"], a.astype(compute.dtype), compute)
+        x = x + st_reduce_lin("attn_o", bp, l, a.astype(compute.dtype))
 
         hdn = layer_norm(x, bp["xattn_ln"]["g"], bp["xattn_ln"]["b"])
-        qx = apply_linear(bp["xattn_q"], hdn, compute)
+        qx = st_lin("xattn_q", bp, l, hdn)
         if quantized_cross:
             # per-channel int8 scales fold outside the kernel: K scale into
             # the query, V scale into the (un)normalized accumulator
@@ -738,13 +814,32 @@ def _decode_step_flash(
             a = normalize(acc, lsum, h)
         if quantized_cross:
             a = a * vs_l.astype(a.dtype)[None, None, :]
-        x = x + apply_reduce_linear(bp["xattn_o"], a.astype(compute.dtype), compute)
+        x = x + st_reduce_lin("xattn_o", bp, l, a.astype(compute.dtype))
 
         hdn = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
-        x = x + apply_ffn(bp, hdn, cfg.gelu, compute)
+        if st_ffn:
+            y = fused_ffn_pallas_stacked(
+                hdn, blocks["fc1"], blocks["fc2"], l, cfg.gelu, compute
+            )
+            assert y is not None  # _st_ffn_ok mirrors the kernel's checks
+            if compute.tp_axis is not None:
+                y = jax.lax.psum(y, compute.tp_axis)
+            x = x + (y + bp["fc2"]["b"].astype(y.dtype)).astype(x.dtype)
+        else:
+            x = x + apply_ffn(bp, hdn, cfg.gelu, compute)
         return x, (k_new, v_new)
 
-    x, (ks, vs) = jax.lax.scan(block, x, (dec["blocks"], layer_idx))
+    # prune the stacked-kernel weights out of the scanned pytree: scan
+    # would otherwise dynamic-slice-copy them per layer (the kernels read
+    # the stacked arrays in place via the prefetched layer index)
+    xs_blocks = dict(blocks)
+    for name, ok in st_ok.items():
+        if ok:
+            xs_blocks[name] = _prune_scanned(blocks[name])
+    if st_ffn:
+        xs_blocks["fc1"] = _prune_scanned(blocks["fc1"])
+        xs_blocks["fc2"] = _prune_scanned(blocks["fc2"])
+    x, (ks, vs) = jax.lax.scan(block, x, (xs_blocks, layer_idx))
 
     # deferred cache write: one slot across all layers
     if compute.quantized_self_kv:

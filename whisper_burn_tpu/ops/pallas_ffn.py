@@ -105,6 +105,124 @@ def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
+def _kernel_stacked(
+    scalar_ref, x_ref, qw1_ref, s1_ref, b1_ref, qw2_ref, s2_ref, o_ref,
+    *, dtype, precision, gelu_kind,
+):
+    """Fused FFN tile with layer-indexed stacked weights (scalar prefetch).
+
+    Same f-tile accumulation as :func:`_kernel`, but fc2's bias is left to
+    the caller (it must be added exactly once, after any TP psum), and the
+    weight DMAs stream straight from the stacked ``[L, ...]`` arrays — no
+    per-layer slice copy in the decode scan."""
+    f_step = pl.program_id(1)
+
+    @pl.when(f_step == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w1 = _dequant(qw1_ref[0], s1_ref[0], dtype)  # [D, bf]
+    h = (
+        jnp.dot(x_ref[:], w1, preferred_element_type=jnp.float32, precision=precision)
+        + b1_ref[0].astype(jnp.float32)
+    )
+    g = _gelu(h, gelu_kind).astype(dtype)  # [bm, bf]
+    w2 = _dequant(qw2_ref[0], s2_ref[0], dtype)  # [bf, D]
+    o_ref[:] += jnp.dot(g, w2, preferred_element_type=jnp.float32, precision=precision)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dtype", "precision", "gelu_kind", "bm", "bf", "interpret"),
+)
+def _ffn_2d_stacked(
+    x, qw1, s1, b1, qw2, s2, layer,
+    *, dtype, precision, gelu_kind, bm, bf, interpret,
+):
+    m, d = x.shape
+    l_dim, _, f = qw1.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // bm, f // bf),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j, sc: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, bf), lambda i, j, sc: (sc[0], 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, d // Q4_BLOCK, bf), lambda i, j, sc: (sc[0], 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1, bf), lambda i, j, sc: (sc[0], 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bf, d), lambda i, j, sc: (sc[0], j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bf // Q4_BLOCK, d), lambda i, j, sc: (sc[0], j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i, j, sc: (i, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _kernel_stacked, dtype=dtype, precision=precision, gelu_kind=gelu_kind
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * f,
+            bytes_accessed=m * d * x.dtype.itemsize + 2 * d * f + m * d * 4,
+            transcendentals=m * f,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, qw1, s1, b1, qw2, s2)
+
+
+def fused_ffn_pallas_stacked(
+    x: jnp.ndarray,  # [..., D]
+    fc1: dict,  # stacked leaves: qw [L, D, F], scales [L, D//32, F], b [L, F]
+    fc2: dict,  # stacked leaves: qw [L, F, D], scales [L, F//32, D], b [L, D]
+    layer: jnp.ndarray,
+    gelu_kind: str,
+    compute,
+    interpret: bool | None = None,
+) -> jnp.ndarray | None:
+    """Layer-indexed fused FFN for the decode scan. fc2's bias is NOT
+    added — the caller adds it after any tensor-parallel psum. Returns
+    None for unservable shapes/params (caller slices + falls back)."""
+    if "qw" not in fc1 or "qw" not in fc2:
+        return None
+    l_dim, d, f = fc1["qw"].shape
+    if f % BF != 0 or fc2["qw"].shape != (l_dim, f, d):
+        return None
+    if "b" not in fc1 or "b" not in fc2:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    batch_shape = x.shape[:-1]
+    m = 1
+    for s in batch_shape:
+        m *= s
+    if m > BM_MAX:
+        return None
+    x2 = x.reshape(m, d).astype(compute.dtype)
+    bm = _round_up(m, 8)
+    if bm != m:
+        x2 = jnp.pad(x2, ((0, bm - m), (0, 0)))
+
+    y = _ffn_2d_stacked(
+        x2,
+        fc1["qw"], fc1["scales"], fc1["b"].reshape(l_dim, 1, f),
+        fc2["qw"], fc2["scales"], layer,
+        dtype=compute.dtype,
+        precision=compute.precision,
+        gelu_kind=gelu_kind,
+        bm=bm,
+        bf=BF,
+        interpret=interpret,
+    )
+    return y[:m].astype(compute.dtype).reshape(*batch_shape, d)
+
+
 def fused_ffn_pallas(
     x: jnp.ndarray,  # [..., D]
     fc1: dict,

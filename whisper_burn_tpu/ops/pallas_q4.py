@@ -104,6 +104,112 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
+def _kernel_stacked(scalar_ref, x_ref, qw_ref, sc_ref, o_ref, *, dtype, precision):
+    """One (bm, bn) output tile, whole-K reduction, layer-indexed weights.
+
+    The layer index rides scalar prefetch so the BlockSpec DMAs stream the
+    selected layer's tiles straight out of the stacked ``[L, K, N]`` array
+    — no per-layer dynamic-slice copy ever materializes in HBM (the
+    unstacked kernel inside a scan-over-layers cost ~1.3 ms/step at B=64
+    in slice+pad fusions; profiled 2026-08, see models/decoder.py)."""
+    q = qw_ref[0].astype(dtype)  # [bk, bn]
+    bk, bn = q.shape
+    w = (q.reshape(bk // Q4_BLOCK, Q4_BLOCK, bn) * sc_ref[0].astype(dtype)[:, None, :]).reshape(bk, bn)
+    o_ref[:] = jnp.dot(
+        x_ref[:], w, preferred_element_type=jnp.float32, precision=precision
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dtype", "precision", "interpret", "bm", "bn")
+)
+def _q4_matmul_2d_stacked(
+    x: jnp.ndarray,  # [M, K] compute dtype
+    qw: jnp.ndarray,  # [L, K, N] int8
+    scales: jnp.ndarray,  # [L, K//32, N] f32
+    layer: jnp.ndarray,  # [] int32
+    *,
+    dtype,
+    precision,
+    interpret: bool,
+    bm: int,
+    bn: int,
+) -> jnp.ndarray:
+    m, k = x.shape
+    l_dim, _, n = qw.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j, sc: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, k, bn), lambda i, j, sc: (sc[0], 0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, k // Q4_BLOCK, bn),
+                lambda i, j, sc: (sc[0], 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, sc: (i, j), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_stacked, dtype=dtype, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * x.dtype.itemsize + k * n + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x, qw, scales)
+
+
+def q4_matmul_pallas_stacked(
+    x: jnp.ndarray,  # [..., K]
+    qw_all: jnp.ndarray,  # [L, K, N] int8
+    sc_all: jnp.ndarray,  # [L, K//32, N] f32
+    layer: jnp.ndarray,  # [] int32
+    compute,
+    interpret: bool | None = None,
+    out_dtype=None,
+) -> jnp.ndarray | None:
+    """Layer-indexed fused quantized matmul for scan-over-layers decode.
+
+    Small-M (decode GEMV) only: the whole-K reduction per grid step keeps
+    one output write and the weight DMA stream large. Returns None for
+    unservable shapes (caller falls back to slice + q4_matmul)."""
+    l_dim, k, n = qw_all.shape
+    batch_shape = x.shape[:-1]
+    m = 1
+    for s in batch_shape:
+        m *= s
+    if m > BM_MAX or k % BK != 0:
+        return None
+    bn = next((c for c in (512, 256, 128) if n % c == 0), None)
+    if bn is None:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    x2 = x.reshape(m, k).astype(compute.dtype)
+    bm = _round_up(m, 8)
+    if bm != m:
+        x2 = jnp.pad(x2, ((0, bm - m), (0, 0)))
+    y = _q4_matmul_2d_stacked(
+        x2, qw_all, sc_all, layer,
+        dtype=compute.dtype, precision=compute.precision,
+        interpret=interpret, bm=bm, bn=bn,
+    )
+    y = y[:m].astype(out_dtype or compute.dtype)
+    return y.reshape(*batch_shape, n)
+
+
 def q4_matmul_pallas(
     x: jnp.ndarray,
     qw: jnp.ndarray,
