@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 import roofline
 from roofline import HBM_GBPS, measure_roundtrip, timeit_loop
 
-B, D, H, T, L = 64, 1280, 20, 1536, 8
+B = int(os.environ.get("EXP_B", "64"))
+D, H, T, L = 1280, 20, 1536, 8
 NEG_BIG = -1e30
 HS = 32
 ITERS = roofline.ITERS

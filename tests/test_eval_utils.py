@@ -11,8 +11,12 @@ from whisper_burn_tpu.utils import StageTimer, ThroughputMeter
 
 
 def test_normalize_text():
+    # default: the full Whisper English normalizer (contractions expand)
     assert normalize_text("  Hello, WORLD!  ") == "hello world"
-    assert normalize_text("don't. STOP") == "don't stop"
+    assert normalize_text("don't. STOP") == "do not stop"
+    assert normalize_text("one hundred and fifty dollars") == "$150"
+    # basic mode: casefold + punctuation strip only
+    assert normalize_text("don't. STOP", basic=True) == "don't stop"
 
 
 def test_word_errors_and_wer():

@@ -1,15 +1,30 @@
-"""Word error rate and text normalization."""
+"""Word error rate and text normalization.
+
+``normalize_text`` applies the full OpenAI Whisper English normalizer port
+(:mod:`whisper_burn_tpu.eval.english_normalizer`, pinned against the copy
+bundled in ``transformers`` by tests/test_normalizer.py) — the rule set
+BASELINE's "WER within 0.1 abs" target is defined under. ``basic=True``
+falls back to the old casefold+strip normalization (for non-English text).
+"""
 
 from __future__ import annotations
 
+import functools
 import re
 import unicodedata
 
 
-def normalize_text(text: str) -> str:
-    """Light-weight ASR normalization: casefold, strip punctuation/extra
-    whitespace (a simplified form of the Whisper English normalizer —
-    enough for relative comparisons between this framework's own modes)."""
+@functools.lru_cache(maxsize=1)
+def _english_normalizer():
+    from whisper_burn_tpu.eval.english_normalizer import EnglishTextNormalizer
+
+    return EnglishTextNormalizer()
+
+
+def normalize_text(text: str, basic: bool = False) -> str:
+    """Whisper English normalization (default) or basic casefold+strip."""
+    if not basic:
+        return _english_normalizer()(text).strip()
     text = unicodedata.normalize("NFKC", text).lower()
     text = re.sub(r"[^\w\s']", " ", text)
     text = re.sub(r"\s+", " ", text)

@@ -650,24 +650,32 @@ def _flash_supported(cfg: WhisperConfig, cache: KVCache, compute: Compute) -> bo
 
 def _st_lin_ok(st, m: int) -> bool:
     """Static check: this linear's stacked [L, K, N] weights are servable
-    by the layer-indexed Pallas matmul (ops/pallas_q4._q4_matmul_2d_stacked)."""
-    if not isinstance(st, dict) or "qw" not in st or st["qw"].ndim != 3:
+    by the layer-indexed Pallas matmul (ops/pallas_q4._q4_matmul_2d_stacked).
+    Mirrors q4_matmul_pallas_stacked's own gates via the kernel module's
+    constants so they cannot drift (ADVICE r3)."""
+    from whisper_burn_tpu.ops.pallas_q4 import BK, BM_MAX
+
+    if not isinstance(st, dict) or "qw" not in st or "scales" not in st:
+        return False
+    if st["qw"].ndim != 3:
         return False
     _, k, n = st["qw"].shape
-    return m <= 256 and k % 256 == 0 and any(n % c == 0 for c in (512, 256, 128))
+    return m <= BM_MAX and k % BK == 0 and any(n % c == 0 for c in (512, 256, 128))
 
 
 def _st_ffn_ok(fc1, fc2, m: int) -> bool:
     """Static check for the layer-indexed fused FFN kernel."""
-    from whisper_burn_tpu.ops.pallas_ffn import BF
+    from whisper_burn_tpu.ops.pallas_ffn import BF, BM_MAX
 
     if not isinstance(fc1, dict) or "qw" not in fc1 or fc1["qw"].ndim != 3:
+        return False
+    if "scales" not in fc1 or not isinstance(fc2, dict) or "scales" not in fc2:
         return False
     if "b" not in fc1 or "b" not in fc2:
         return False
     l_dim, d, f = fc1["qw"].shape
     return (
-        m <= 256 and f % BF == 0 and "qw" in fc2 and fc2["qw"].shape == (l_dim, f, d)
+        m <= BM_MAX and f % BF == 0 and "qw" in fc2 and fc2["qw"].shape == (l_dim, f, d)
     )
 
 
@@ -733,24 +741,39 @@ def _decode_step_flash(
         blocks.get("fc1"), blocks.get("fc2"), m_rows
     )
 
+    def _sliced(name, bp, l):
+        """Per-layer params for the fallback path: ``bp[name]`` when the
+        scan carried them, else a dynamic slice of the stacked arrays
+        (the pruned case — reachable only if a stacked-kernel gate and
+        _st_lin_ok ever disagree; correct either way, ADVICE r3)."""
+        p = bp[name]
+        if "qw" in p or "w" in p:
+            return p
+        return jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+            blocks[name],
+        )
+
     def st_lin(name, bp, l, xin):
         """Stacked-kernel linear when servable, else the per-layer slice
         path (bp then carries the full sliced params)."""
+        y = None
         if st_ok[name]:
             st = blocks[name]
             y = q4_matmul_pallas_stacked(xin, st["qw"], st["scales"], l, compute)
-            assert y is not None  # _st_lin_ok mirrors the kernel's checks
-            b = bp[name].get("b")
-            return y + b.astype(y.dtype) if b is not None else y
-        return apply_linear(bp[name], xin, compute)
+        if y is None:  # _st_lin_ok mirrors the kernel's gates; be safe anyway
+            return apply_linear(_sliced(name, bp, l), xin, compute)
+        b = bp[name].get("b")
+        return y + b.astype(y.dtype) if b is not None else y
 
     def st_reduce_lin(name, bp, l, xin):
         """Row-parallel stacked linear: matmul -> psum over tp -> + bias."""
-        if not st_ok[name]:
-            return apply_reduce_linear(bp[name], xin, compute)
-        st = blocks[name]
-        y = q4_matmul_pallas_stacked(xin, st["qw"], st["scales"], l, compute)
-        assert y is not None
+        y = None
+        if st_ok[name]:
+            st = blocks[name]
+            y = q4_matmul_pallas_stacked(xin, st["qw"], st["scales"], l, compute)
+        if y is None:
+            return apply_reduce_linear(_sliced(name, bp, l), xin, compute)
         if compute.tp_axis is not None:
             y = jax.lax.psum(y, compute.tp_axis)
         b = bp[name].get("b")
@@ -817,16 +840,19 @@ def _decode_step_flash(
         x = x + st_reduce_lin("xattn_o", bp, l, a.astype(compute.dtype))
 
         hdn = layer_norm(x, bp["mlp_ln"]["g"], bp["mlp_ln"]["b"])
+        y = None
         if st_ffn:
             y = fused_ffn_pallas_stacked(
                 hdn, blocks["fc1"], blocks["fc2"], l, cfg.gelu, compute
             )
-            assert y is not None  # _st_ffn_ok mirrors the kernel's checks
+        if y is None:  # _st_ffn_ok mirrors the kernel's gates; be safe anyway
+            fb = dict(bp)
+            fb["fc1"], fb["fc2"] = _sliced("fc1", bp, l), _sliced("fc2", bp, l)
+            x = x + apply_ffn(fb, hdn, cfg.gelu, compute)
+        else:
             if compute.tp_axis is not None:
                 y = jax.lax.psum(y, compute.tp_axis)
             x = x + (y + bp["fc2"]["b"].astype(y.dtype)).astype(x.dtype)
-        else:
-            x = x + apply_ffn(bp, hdn, cfg.gelu, compute)
         return x, (k_new, v_new)
 
     # prune the stacked-kernel weights out of the scanned pytree: scan
@@ -861,8 +887,9 @@ def _decode_step_flash(
                 ),
             )
     if self_kt:
-        # [D, 1] lane-column write into the transposed key cache — measured
-        # 5.4x FASTER than the natural [1, D] row write (exp_self_kernel)
+        # [D, 1] lane-column write into the transposed key cache — costs
+        # 7.2 ms/step at B=64 (masked RMW across every (32, 128) int8 tile;
+        # see self_kt_layout), which is why this layout is opt-in-off
         sk = jax.lax.dynamic_update_slice(
             cache.self_k, jnp.swapaxes(ks, 2, 3).astype(cache.self_k.dtype),
             (0, 0, 0, pos),
