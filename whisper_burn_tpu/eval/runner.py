@@ -95,7 +95,9 @@ def evaluate_manifest(
                     "text": res.text,
                     "ref": row.get("text", ""),
                     "audio_s": dur,
-                    "inference_ms": res.inference_ms / len(chunk),
+                    # TranscribeResult.inference_ms is already amortized
+                    # over the real batch size (transcribe.py)
+                    "inference_ms": res.inference_ms,
                 }
                 done[rec["id"]] = rec
                 out.write(json.dumps(rec) + "\n")

@@ -212,7 +212,13 @@ def _embed(dec: Params, tokens: jnp.ndarray, positions: jnp.ndarray, compute: Co
     return (tok + pos[None]).astype(compute.dtype)
 
 
-def _logits(dec: Params, x: jnp.ndarray, cfg: WhisperConfig, compute: Compute) -> jnp.ndarray:
+def _logits(
+    dec: Params,
+    x: jnp.ndarray,
+    cfg: WhisperConfig,
+    compute: Compute,
+    rows: tuple[int, int] | None = None,
+) -> jnp.ndarray:
     """Final LN + tied-embedding projection; padded vocab masked to -inf.
 
     ``x: [B, D]`` -> ``[B, n_vocab_padded]`` float32
@@ -223,10 +229,25 @@ def _logits(dec: Params, x: jnp.ndarray, cfg: WhisperConfig, compute: Compute) -
     the embedding with 32-block scales — half the decode loop's
     0.13 GB/step bf16 embedding read — through the fused Pallas kernel,
     accumulating f32 (accuracy-gated; sweep row q8_logits).
+
+    ``rows=(start, end)``: project onto that embedding-row slice only and
+    return ``[B, end-start]`` (language auto-detect needs just the
+    100-token lang range — a [D, 100] matmul instead of [D, 51872],
+    VERDICT r3 #9). The padded-vocab mask is skipped (callers pass
+    in-vocab ranges).
     """
     from whisper_burn_tpu.ops.q4_matmul import q4_matmul
 
     x = layer_norm(x, dec["ln"]["g"], dec["ln"]["b"])
+    if rows is not None:
+        start, end = rows
+        emb = jax.lax.slice_in_dim(dec["tok_emb"], start, end, axis=0)
+        return jnp.matmul(
+            x.astype(compute.dtype),
+            emb.astype(compute.dtype).T,
+            precision=compute.precision,
+            preferred_element_type=jnp.float32,
+        )
     q = dec.get("tok_emb_q") if compute.quantized_logits else None
     if compute.quantized_logits and q is None:
         raise ValueError(
@@ -426,6 +447,8 @@ def prefill(
     cache: KVCache,
     compute: Compute,
     pos_offset: int = 0,
+    logit_rows: tuple[int, int] | None = None,
+    write_cache: bool = True,
 ) -> tuple[jnp.ndarray, KVCache]:
     """Batched prompt pass writing self K/V into ``cache``.
 
@@ -433,6 +456,11 @@ def prefill(
     ``tokens: [B, T]`` occupy cache positions ``[pos_offset, pos_offset+T)``.
     Returns (last-position logits ``[B, Vp]`` f32, cache) — the functional
     counterpart of ``forward_prompt`` (src/model/decoder.rs:251-296).
+
+    ``logit_rows``/``write_cache=False``: throwaway-pass mode for language
+    auto-detect (whisper.detect_language) — logits restricted to an
+    embedding-row slice and the self-KV quantize + cache writes skipped
+    (the detect pass discards them, VERDICT r3 #9).
     """
     dec = params["decoder"]
     b, t = tokens.shape
@@ -476,6 +504,9 @@ def prefill(
         block, x, (params["decoder"]["blocks"], cache.cross_k, cache.cross_v, ksc, vsc)
     )
 
+    if not write_cache:
+        return _logits(dec, x[:, -1], cfg, compute, rows=logit_rows), cache
+
     sl = (slice(None), slice(None), slice(pos_offset, pos_offset + t))
     self_kt = self_kt_layout(cfg, compute, cache.self_v.shape[2])
     if compute.quantized_self_kv:
@@ -506,7 +537,7 @@ def prefill(
             self_k=cache.self_k.at[sl].set(ks.astype(cache.self_k.dtype)),
             self_v=cache.self_v.at[sl].set(vs.astype(cache.self_v.dtype)),
         )
-    logits = _logits(dec, x[:, -1], cfg, compute)
+    logits = _logits(dec, x[:, -1], cfg, compute, rows=logit_rows)
     return logits, cache
 
 

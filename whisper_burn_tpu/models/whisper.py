@@ -63,13 +63,20 @@ def detect_language(
             f"[{cfg.lang_token_start}, {cfg.lang_token_end}) — auto-detect "
             "needs a real Whisper vocabulary"
         )
-    b = cache.self_k.shape[1]
+    b = cache.self_v.shape[1]
     sot = jnp.full((b, 1), SOT, jnp.int32)
-    logits, _ = prefill(params, cfg, sot, cache, compute)  # self-KV writes discarded
-    ids = jnp.arange(logits.shape[-1])
-    in_range = (ids >= cfg.lang_token_start) & (ids < cfg.lang_token_end)
-    masked = jnp.where(in_range[None, :], logits, -jnp.inf)
-    return jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    # lean throwaway pass: logits restricted to the 100-token language
+    # range (a [D, n_lang] slice of the tied embedding instead of the full
+    # 51k-vocab matmul) and no self-KV quantize/cache writes — the detect
+    # pass discards both (VERDICT r3 #9)
+    lang_logits, _ = prefill(
+        params, cfg, sot, cache, compute,
+        logit_rows=(cfg.lang_token_start, cfg.lang_token_end),
+        write_cache=False,
+    )
+    return (
+        jnp.argmax(lang_logits, axis=-1).astype(jnp.int32) + cfg.lang_token_start
+    )
 
 
 def greedy_decode(
