@@ -191,7 +191,10 @@ def _roofline_accounting(cfg, compute, batch: int, breakdown: dict) -> dict:
     weights = (3 * d * d + 3 * d * d + 2 * d * f) * nl  # int8 codes
     scales = weights // 32 * 4
     if compute.self_kv_packed:
-        self_kv = batch * ctx * (d + 8) * nl  # two int4 K+V per byte
+        from whisper_burn_tpu.models.decoder import self_kv_groups
+
+        # two int4 K+V per byte + 2G f32 per-channel-group scales per token
+        self_kv = batch * ctx * (d + 8 * self_kv_groups(d)) * nl
     elif compute.quantized_self_kv:
         self_kv = batch * ctx * (2 * d + 8) * nl
     else:

@@ -57,10 +57,12 @@ def run_sweep(
     backend: str,
     on_seed=None,
     rows: str = "all",
+    only: set[str] | None = None,
 ):
     """``rows``: "all" | "serving" | "weight" | "struct" — subset selection
     so a single axis can be re-swept without the full multi-hour run (the
-    matched f32/Q4 Large-V3 fixtures are host-generation-bound)."""
+    matched f32/Q4 Large-V3 fixtures are host-generation-bound).
+    ``only``: restrict the serving variants to this name set."""
     cfg = {
         "large_v3": WhisperConfig.large_v3,
         "turbo": WhisperConfig.large_v3_turbo,
@@ -86,7 +88,14 @@ def run_sweep(
         "q4_int4selfkv": Compute.fastest(kv_bits=4).replace(
             backend=kb, self_kv_bits=4
         ),
+        # int4 self-KV + int8 logits + w8a8: the full candidate serving
+        # default if the group-scaled int4 self cache clears the floor
+        "q4_int4selfkv_full": Compute.fastest(kv_bits=4).replace(
+            backend=kb, self_kv_bits=4, quantized_logits=True, w8a8=True
+        ),
     }
+    if only:
+        variants = {k: v for k, v in variants.items() if k in only}
     ref_compute = Compute.parity().replace(backend=KernelBackend.XLA)
 
     do_serving = rows in ("all", "serving")
@@ -141,7 +150,15 @@ def run_sweep(
 
             params_q4_w8 = attach_w8a8(params_q4)
             for name, comp in variants.items():
-                if comp.quantized_logits:
+                if comp.quantized_logits and comp.w8a8:
+                    p = {
+                        **params_q4_w8,
+                        "decoder": {
+                            **params_q4_w8["decoder"],
+                            "tok_emb_q": params_q4_qlog["decoder"]["tok_emb_q"],
+                        },
+                    }
+                elif comp.quantized_logits:
                     p = params_q4_qlog
                 elif comp.w8a8:
                     p = params_q4_w8
@@ -252,7 +269,11 @@ def write_outputs(result: dict, out: str) -> None:
         "q4_int4kv": ("q4 @ f32", "bf16", "int8 self + int4 cross (bench default)"),
         "q4_int4kv_q8log": ("q4 @ f32", "bf16 + int8 logits", "int8 self + int4 cross"),
         "q4_w8a8": ("q4 @ f32", "bf16 + W8A8 encoder", "int8 self + int4 cross"),
-        "q4_int4selfkv": ("q4 @ f32", "bf16", "int4 self + int4 cross"),
+        "q4_int4selfkv": ("q4 @ f32", "bf16", "int4-group self + int4 cross"),
+        "q4_int4selfkv_full": (
+            "q4 @ f32", "bf16 + int8 logits + W8A8 encoder",
+            "int4-group self + int4 cross",
+        ),
         "weight_q4": ("f32 weights (iid)", "f32", "f32"),
         "weight_q4_struct": ("f32 weights (peaked fixture)", "f32", "f32"),
     }
@@ -283,6 +304,8 @@ def main():
     ap.add_argument("--out", default="ACCURACY")
     ap.add_argument("--rows", default="all",
                     choices=["all", "serving", "weight", "struct"])
+    ap.add_argument("--only", default=None,
+                    help="comma list restricting the serving variants")
     args = ap.parse_args()
 
     from whisper_burn_tpu.transcribe import enable_compilation_cache
@@ -294,6 +317,7 @@ def main():
         args.config, args.seeds, args.steps, args.batch, args.backend,
         on_seed=lambda partial: write_outputs(partial, args.out),
         rows=args.rows,
+        only=set(args.only.split(",")) if args.only else None,
     )
     write_outputs(result, args.out)
     print(json.dumps({k: v["token_agreement_mean"] for k, v in result["variants"].items()}))

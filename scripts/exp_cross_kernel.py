@@ -144,14 +144,20 @@ def _call(q, kT4, v4, scalars, *, g, bias_trick, direct_cvt):
     return acc, m[:, :H, 0][:, None, :], l[:, :H, 0][:, None, :]
 
 
+_DATA = None
+
+
 def _data():
-    rng = np.random.default_rng(0)
-    kT = jnp.asarray(rng.integers(0, 255, (L, B, D // 2, T)).astype(np.uint8))
-    v = jnp.asarray(rng.integers(0, 255, (L, B, T // 2, D)).astype(np.uint8))
-    q = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32)).astype(
-        jnp.bfloat16
-    )
-    return q, kT, v
+    global _DATA
+    if _DATA is None:  # generated/transferred once (1.2 GB at B=128)
+        rng = np.random.default_rng(0)
+        kT = jnp.asarray(rng.integers(0, 255, (L, B, D // 2, T)).astype(np.uint8))
+        v = jnp.asarray(rng.integers(0, 255, (L, B, T // 2, D)).astype(np.uint8))
+        q = jnp.asarray(rng.standard_normal((B, 1, D)).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        _DATA = (q, kT, v)
+    return _DATA
 
 
 def check(name, kw):
@@ -208,12 +214,16 @@ VARIANTS = {
     "c3_direct": dict(g=4, bias_trick=False, direct_cvt=True),
     "c4_all": dict(g=8, bias_trick=True, direct_cvt=True),
     "c5_bias_direct": dict(g=4, bias_trick=True, direct_cvt=True),
+    "c6_g16": dict(g=16, bias_trick=True, direct_cvt=False),
+    "c7_g8_bias": dict(g=8, bias_trick=True, direct_cvt=False),
+    "c8_g2_bias": dict(g=2, bias_trick=True, direct_cvt=False),
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
+    ap.add_argument("--nocheck", action="store_true")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
@@ -226,7 +236,8 @@ def main():
     for name, kw in VARIANTS.items():
         if only is not None and name not in only:
             continue
-        check(name, kw)
+        if not args.nocheck:
+            check(name, kw)
         bench(name, kw)
 
 

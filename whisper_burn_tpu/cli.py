@@ -255,8 +255,31 @@ def _cmd_parity(args: argparse.Namespace) -> int:
     weights or no network is SKIP (exit 0), a token mismatch is FAIL
     (exit 1). ``--record`` writes the expected file from the current run
     (do this once on a machine that has the real checkpoint).
+
+    Every outcome (PASS / FAIL / NO-BASELINE / SKIP+reason) is also written
+    to ``--status-out`` (PARITY_STATUS.json) as a dated machine-readable
+    record, so an environment that cannot download real weights leaves a
+    tracked artifact instead of a silently persisting gap (VERDICT r3 #3).
     """
+    import datetime
     import os
+
+    def _write_status(status: str, reason: str, extra: dict | None = None) -> None:
+        if not getattr(args, "status_out", None):
+            return
+        payload = {
+            "status": status,
+            "reason": reason,
+            "date": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "audio": str(args.audio),
+            "variant": args.variant,
+            "expected": str(args.expected),
+            **(extra or {}),
+        }
+        with open(args.status_out, "w") as f:
+            json.dump(payload, f, indent=1)
 
     model_path, tokenizer_path = args.model, args.tokenizer
     if model_path is None:
@@ -268,9 +291,14 @@ def _cmd_parity(args: argparse.Namespace) -> int:
             )
         except Exception as e:
             print(f"SKIP: no --model and download unavailable ({e})")
+            _write_status(
+                "SKIP", f"no --model and download unavailable: {e}",
+                {"attempted": "download", "error_type": type(e).__name__},
+            )
             return 0
     if not os.path.exists(model_path):
         print(f"SKIP: model not found at {model_path}")
+        _write_status("SKIP", f"model not found at {model_path}")
         return 0
 
     pipe = build_pipeline(str(model_path), tokenizer_path and str(tokenizer_path), args)
@@ -298,11 +326,17 @@ def _cmd_parity(args: argparse.Namespace) -> int:
     if not os.path.exists(args.expected):
         print(f"NO-BASELINE: {args.expected} not recorded yet (use --record "
               "once on a machine with the real checkpoint)")
+        _write_status(
+            "NO-BASELINE",
+            f"{args.expected} not recorded yet",
+            {"tokens_produced": len(tokens)},
+        )
     else:
         with open(args.expected) as f:
             expected = json.load(f)
         if expected["tokens"] == tokens:
             print(f"PASS: token-exact match ({len(tokens)} tokens)")
+            _write_status("PASS", "token-exact match", {"tokens": len(tokens)})
         else:
             exp = expected["tokens"]
             diverge = next(
@@ -311,6 +345,10 @@ def _cmd_parity(args: argparse.Namespace) -> int:
             )
             print(f"FAIL: tokens diverge at position {diverge} "
                   f"(expected {len(exp)} tokens, got {len(tokens)})")
+            _write_status(
+                "FAIL", f"tokens diverge at position {diverge}",
+                {"expected_tokens": len(exp), "got_tokens": len(tokens)},
+            )
             status = 1
 
     if args.manifest:
@@ -439,6 +477,8 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--wer-max", type=float, default=None)
     pr.add_argument("--batch", type=int, default=8)
     pr.add_argument("--max-tokens", type=int, default=224)
+    pr.add_argument("--status-out", default="PARITY_STATUS.json",
+                    help="machine-readable outcome record ('' disables)")
     pr.set_defaults(fn=_cmd_parity, frontend="openai", bf16=False, beam=1)
 
     cf = sub.add_parser("config", help="show or persist CLI defaults")

@@ -111,8 +111,11 @@ def init_cache(
         sk = jnp.zeros((l, batch, d, ctx), self_dt)
         ssc = jnp.zeros((l, batch, 2, ctx), jnp.float32)
         return KVCache(sk, zs(ctx, self_dt), ck, z(stored_t, kv_dt), *sc, ssc)
+    # int8: one K + one V scale per token; int4: per-channel-group scales
+    # (self_kv_groups each for K and V)
+    ssc_w = 2 * self_kv_groups(d) if compute.self_kv_packed else 2
     ssc = (
-        jnp.zeros((l, batch, ctx, 2), jnp.float32)
+        jnp.zeros((l, batch, ctx, ssc_w), jnp.float32)
         if compute.quantized_self_kv
         else None
     )
@@ -324,15 +327,44 @@ def _quantize_tokens(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.round(xf / scale).astype(jnp.int8), scale
 
 
+def self_kv_group_size(d: int) -> int:
+    """Channel-group width for int4 self-KV scales: the largest power of
+    two <= 128 dividing the nibble-half width D/2 (groups never span the
+    lo/hi packing halves). Full-width fallback when D/2 is odd."""
+    d2 = d // 2
+    for gsz in (128, 64, 32, 16, 8, 4, 2, 1):
+        if d2 % gsz == 0:
+            return gsz
+    return max(d2, 1)
+
+
+def self_kv_groups(d: int) -> int:
+    """Number of int4 self-KV scale groups for channel width ``d`` (always
+    even: the lo and hi nibble halves get ``ng/2`` groups each)."""
+    d2 = d // 2
+    return 2 * max(1, d2 // self_kv_group_size(d))
+
+
 def _quantize_tokens4(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-token int4 quantization, channel pairs packed into bytes.
+    """Per-token, per-channel-group int4 quantization (VERDICT r3 #2).
 
     ``x: [..., D]`` -> (``uint8 [..., D/2]`` biased nibble pairs via
-    :func:`pack_int4`, ``f32 scale [..., 1]`` = absmax/7)."""
+    :func:`pack_int4`, ``f32 scales [..., G]`` = per-group absmax/7 with
+    ``G = self_kv_groups(D)``). The round-3 per-token scalar (absmax over
+    all 1280 channels) lost 7 agreement points to channel outliers
+    (ACCURACY.md row q4_int4selfkv); <=128-lane groups bound the outlier
+    blast radius to one group. Scale order matches the packed layout:
+    groups 0..G/2-1 cover the lo-nibble channels [0, D/2), G/2..G-1 the
+    hi-nibble channels [D/2, D)."""
+    d = x.shape[-1]
+    gsz = self_kv_group_size(d)
+    ng = self_kv_groups(d)
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xg = xf.reshape(*x.shape[:-1], ng, gsz)
+    amax = jnp.max(jnp.abs(xg), axis=-1)  # [..., G]
     scale = jnp.maximum(amax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(xf / scale), -8, 7).astype(jnp.int8)
+    q = jnp.clip(jnp.round(xg / scale[..., None]), -8, 7)
+    q = q.reshape(*x.shape[:-1], d).astype(jnp.int8)
     return pack_int4(q, axis=-1), scale
 
 
@@ -613,13 +645,21 @@ def decode_step(
         k_full = jax.lax.dynamic_index_in_dim(sk, l, 0, keepdims=False)
         v_full = jax.lax.dynamic_index_in_dim(sv, l, 0, keepdims=False)
         if quantized_self:
+            d_loc = cfg.n_text_state // compute.tp
+            sc_full = jax.lax.dynamic_index_in_dim(ssc, l, 0, keepdims=False)
+            sc_full = sc_full.astype(compute.dtype)  # [B, ctx, 2] or [B, ctx, 2G]
             if compute.self_kv_packed:
                 k_full = unpack_int4(k_full, axis=-1, dtype=compute.dtype)
                 v_full = unpack_int4(v_full, axis=-1, dtype=compute.dtype)
-            sc_full = jax.lax.dynamic_index_in_dim(ssc, l, 0, keepdims=False)
-            sc_full = sc_full.astype(compute.dtype)  # [B, ctx, 2]
-            k_full = k_full.astype(compute.dtype) * sc_full[..., 0:1]
-            v_full = v_full.astype(compute.dtype) * sc_full[..., 1:2]
+                # per-group scales expand to channels (unpack order = group
+                # order: lo-half groups then hi-half groups)
+                ng = sc_full.shape[-1] // 2
+                gsz = d_loc // ng
+                k_full = k_full * jnp.repeat(sc_full[..., :ng], gsz, axis=-1)
+                v_full = v_full * jnp.repeat(sc_full[..., ng:], gsz, axis=-1)
+            else:
+                k_full = k_full.astype(compute.dtype) * sc_full[..., 0:1]
+                v_full = v_full.astype(compute.dtype) * sc_full[..., 1:2]
         a = attention(q, k_full, v_full, n_heads, mask=mask, compute=compute)
         x = x + apply_reduce_linear(bp["attn_o"], a, compute)
 

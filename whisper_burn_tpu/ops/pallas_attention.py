@@ -47,7 +47,7 @@ H_PAD = 128  # lane width for the per-head m/l state
 def _kernel(
     scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest,
     scale, kt, scaled, g, single_pass, hs, packed=False, fused_out=False,
-    merge_extra=False,
+    merge_extra=False, ng=0,
 ):
     """``scaled=True``: K/V blocks are int8 with per-token absmax scales in
     an extra ``[kt, 2]`` f32 operand (K scale in lane 0, V scale in lane 1)
@@ -74,7 +74,15 @@ def _kernel(
     operands (the current token's raw K/V, not yet in the cache) are
     flash-merged in-kernel — replacing the per-layer XLA epilogue
     (flash_merge_extra_key / normalize, ~25 small ops per layer per
-    step)."""
+    step).
+
+    ``ng > 0`` (packed int4 + per-channel-GROUP scales, VERDICT r3 #2):
+    the scale operand is ``[kt, 2*ng]`` (K groups then V groups; each
+    nibble half gets ng/2 groups of decoder.self_kv_group_size lanes).
+    Scales expand to channels with one tiny one-hot MXU dot per half and
+    fold into the unpacked nibbles — exact dequant, so the bias trick is
+    unnecessary (the subtract and the scale multiply fuse into one VPU
+    pass over the tile)."""
     if merge_extra:
         if scaled:
             kn_ref, vn_ref, sc_ref, acc_ref, m_ref, l_ref = rest
@@ -101,7 +109,27 @@ def _kernel(
 
     for i in range(g):
         qmat = qmat_ref[i]  # [D, H_PAD]
-        if packed:
+        if packed and ng:
+            # int4 + per-channel-group scales: expand the [kt, ng/2] group
+            # scales of each nibble half to channels with a one-hot dot,
+            # fold them into the unpacked nibbles (exact dequant), then
+            # score with the same two split dots as the legacy path.
+            kp = k_ref[0, i].astype(jnp.int32)  # [kt, D/2]
+            d2 = kp.shape[1]
+            ngh = ng // 2
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (ngh, d2), 1) // (d2 // ngh)
+            gmat = (
+                gidx == jax.lax.broadcasted_iota(jnp.int32, (ngh, d2), 0)
+            ).astype(jnp.float32)  # [ngh, d2] one-hot group->lanes
+            sck = sc_ref[0, i, :, 0:ng]  # [kt, ng] K group scales
+            sk_lo = jnp.dot(sck[:, :ngh], gmat, preferred_element_type=jnp.float32)
+            sk_hi = jnp.dot(sck[:, ngh:ng], gmat, preferred_element_type=jnp.float32)
+            k_lo = (((kp & 15).astype(jnp.float32) - 8.0) * sk_lo).astype(qmat.dtype)
+            k_hi = (((kp >> 4).astype(jnp.float32) - 8.0) * sk_hi).astype(qmat.dtype)
+            s = jnp.dot(k_lo, qmat[:d2], preferred_element_type=jnp.float32)
+            s = s + jnp.dot(k_hi, qmat[d2:], preferred_element_type=jnp.float32)
+            s = s * scale
+        elif packed:
             # int4 nibble pairs (channels j / j+D/2 share a byte) with the
             # bias trick: dot the biased nibbles [0..15] and fold the -8
             # out as a rank-1 correction (see _kt_kernel), so the unpack
@@ -122,7 +150,7 @@ def _kernel(
             # carry zeros in qmat, their m/l state is garbage but sliced
             # away by the wrapper.
             s = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # [kt, Hp]
-        if scaled:
+        if scaled and not ng:
             s = s * sc_ref[0, i, :, 0:1]  # [kt, 1] per-token K dequant scale
         s = jnp.where(in_range, s, NEG_BIG)
 
@@ -132,10 +160,28 @@ def _kernel(
             lsum = jnp.sum(p, axis=0, keepdims=True)
             l_ref[i] = lsum
             m_ref[i] = m_new
-            if scaled:
+            if scaled and not ng:
                 p = p * sc_ref[0, i, :, 1:2]
             pT = p.astype(qmat.dtype).T[:hs]  # [hs, kt] head rows
-            if packed:
+            if packed and ng:
+                # group-scaled values: fold the expanded per-group V scales
+                # into the unpacked nibbles (exact; no rank-1 correction)
+                vp = v_ref[0, i].astype(jnp.int32)  # [kt, D/2]
+                scv = sc_ref[0, i, :, ng : 2 * ng]  # [kt, ng] V group scales
+                sv_lo = jnp.dot(scv[:, :ngh], gmat, preferred_element_type=jnp.float32)
+                sv_hi = jnp.dot(scv[:, ngh:ng], gmat, preferred_element_type=jnp.float32)
+                v_lo = (((vp & 15).astype(jnp.float32) - 8.0) * sv_lo).astype(qmat.dtype)
+                v_hi = (((vp >> 4).astype(jnp.float32) - 8.0) * sv_hi).astype(qmat.dtype)
+                pv_lo = jnp.dot(pT, v_lo, preferred_element_type=jnp.float32)
+                pv_hi = jnp.dot(pT, v_hi, preferred_element_type=jnp.float32)
+                acc_val = jnp.concatenate(
+                    [
+                        jnp.sum(pv_lo * emat[:hs, :d2], axis=0, keepdims=True),
+                        jnp.sum(pv_hi * emat[:hs, d2:], axis=0, keepdims=True),
+                    ],
+                    axis=1,
+                )
+            elif packed:
                 vp = v_ref[0, i].astype(jnp.int32)  # [kt, D/2]
                 d2 = vp.shape[1]
                 v_lo = (vp & 15).astype(qmat.dtype)
@@ -219,6 +265,10 @@ def _decode_attn_call(
     scale = 1.0 / np.sqrt(dh)
     # extras = (k_new, v_new)? + (kv_scale4)?
     scaled = len(extras) > (2 if merge_extra else 0)
+    # scale-operand lane width: 2 (per-token K+V scalars) or 2*ng
+    # (per-channel-group int4 scales, decoder._quantize_tokens4)
+    sw = extras[-1].shape[-1] if scaled else 2
+    ng = sw // 2 if (packed and sw > 2) else 0
 
     head_of_d = np.arange(d) // dh  # [D]
     dmask = head_of_d[:, None] == np.arange(H_PAD)[None, :]  # [D, Hp]
@@ -232,7 +282,7 @@ def _decode_attn_call(
         memory_space=pltpu.VMEM,
     )
     sc_spec = pl.BlockSpec(
-        (1, g, kt, 2),
+        (1, g, kt, sw),
         lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
         memory_space=pltpu.VMEM,
     )
@@ -264,7 +314,7 @@ def _decode_attn_call(
         functools.partial(
             _kernel, scale=scale, kt=kt, scaled=scaled, g=g,
             single_pass=single_pass, hs=hs, packed=packed,
-            fused_out=fused_out, merge_extra=merge_extra,
+            fused_out=fused_out, merge_extra=merge_extra, ng=ng,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -312,6 +362,8 @@ def decode_attention_layer(
         return None
     kt = _largest_tile(t)
     if kt is None or (packed and kt != t):
+        return None
+    if packed and kv_scale4 is not None and not _packed_scales_ok(kv_scale4, ds):
         return None
     b = q.shape[0]
     g = 1
@@ -377,6 +429,8 @@ def decode_attention_merged(
     kt = _largest_tile(t)
     if kt != t:
         return None  # epilogue fusion needs the one-shot softmax
+    if packed and kv_scale4 is not None and not _packed_scales_ok(kv_scale4, ds):
+        return None
     b = q.shape[0]
     g = 1
     budget = 8 * 1024 * 1024
@@ -404,6 +458,17 @@ def _largest_tile(t: int) -> int | None:
         if t % kt == 0:
             return kt
     return None
+
+
+def _packed_scales_ok(kv_scale4, ds: int) -> bool:
+    """Group-scale operand sanity for a packed (uint8) cache: lane width is
+    2 (legacy per-token scalars) or 2*ng with ng/2 dividing the stored
+    half-width ``ds`` (decoder.self_kv_groups layout)."""
+    sw = kv_scale4.shape[-1]
+    if sw == 2:
+        return True
+    ng = sw // 2
+    return sw % 2 == 0 and ng % 2 == 0 and ds % (ng // 2) == 0
 
 
 HS = 32  # head-rows padding (sublane grain) for the kT kernel
