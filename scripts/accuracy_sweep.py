@@ -93,6 +93,14 @@ def run_sweep(
         "q4_int4selfkv_full": Compute.fastest(kv_bits=4).replace(
             backend=kb, self_kv_bits=4, quantized_logits=True, w8a8=True
         ),
+        # mixed 8K/4V: int8 keys (the score-noise-sensitive side) + int4
+        # group-scaled values — 25% off the self stream at ~int8 accuracy
+        "q4_selfv4": Compute.fastest(kv_bits=4).replace(
+            backend=kb, self_kv_vbits=4
+        ),
+        "q4_selfv4_full": Compute.fastest(kv_bits=4).replace(
+            backend=kb, self_kv_vbits=4, quantized_logits=True, w8a8=True
+        ),
     }
     if only:
         variants = {k: v for k, v in variants.items() if k in only}
@@ -273,6 +281,13 @@ def write_outputs(result: dict, out: str) -> None:
         "q4_int4selfkv_full": (
             "q4 @ f32", "bf16 + int8 logits + W8A8 encoder",
             "int4-group self + int4 cross",
+        ),
+        "q4_selfv4": (
+            "q4 @ f32", "bf16", "int8-K/int4-V self + int4 cross",
+        ),
+        "q4_selfv4_full": (
+            "q4 @ f32", "bf16 + int8 logits + W8A8 encoder",
+            "int8-K/int4-V self + int4 cross",
         ),
         "weight_q4": ("f32 weights (iid)", "f32", "f32"),
         "weight_q4_struct": ("f32 weights (peaked fixture)", "f32", "f32"),

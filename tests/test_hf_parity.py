@@ -331,3 +331,45 @@ def test_decoder_teacher_forced_parity(hf_and_ours):
         np.testing.assert_allclose(
             np.asarray(logits)[:, :N_VOCAB], theirs[:, pos], atol=2e-3, rtol=1e-2
         )
+
+
+@pytest.mark.parametrize("beam_width", [2, 4])
+def test_generate_parity_beam_early_stop(beam_width):
+    """Beam parity in the EARLY-STOP regime (VERDICT r3 #5): the EOT
+    embedding is blended toward a mid-trajectory token so hypotheses
+    finish at different lengths — exercising the banked-hypotheses pool
+    (rank<W EOT banking, (k+1)-length normalization, slot refill, the
+    early_stopping=False is_done heuristic, and end-of-cap finalize).
+    The fixture must actually trigger an early finish (asserted)."""
+    from whisper_burn_tpu.models.beam import beam_decode
+    from whisper_burn_tpu.models.config import EOT
+
+    max_new = 14
+    triggered = False
+    for seed, alpha in [(0, 0.95), (3, 1.15), (7, 1.0)]:
+        hf = _build_generate_fixture(seed=seed)
+        # blend EOT's embedding toward the step-5 greedy token: EOT scores
+        # ride just below that token's, surfacing in the top-2W at
+        # different steps for different beams
+        cfg0, params0 = _load_ours(hf)
+        mel, langs = _mel_langs(cfg0, b=2, seed=seed + 40)
+        probe = _hf_generate(hf, cfg0, mel, langs, max_new=max_new)
+        victim = int(probe[0][min(5, len(probe[0]) - 1)])
+        with torch.no_grad():
+            w_emb = hf.model.decoder.embed_tokens.weight
+            w_emb[EOT] = alpha * w_emb[victim] + (1 - alpha) * w_emb[EOT]
+        cfg, params = _load_ours(hf)
+
+        theirs = _hf_generate(hf, cfg, mel, langs, max_new=max_new, num_beams=beam_width)
+        res = beam_decode(
+            params, cfg, jnp.asarray(mel), jnp.asarray(langs), COMPUTE,
+            beam_width=beam_width, max_tokens=max_new,
+        )
+        ours, n_gen = np.asarray(res.tokens), np.asarray(res.n_generated)
+        for i in range(mel.shape[0]):
+            np.testing.assert_array_equal(
+                ours[i][: n_gen[i]], theirs[i],
+                err_msg=f"seed={seed} alpha={alpha} utt={i}",
+            )
+        triggered |= any(len(t) < max_new for t in theirs)
+    assert triggered, "no fixture produced an early (pre-cap) finish"

@@ -358,3 +358,43 @@ def test_int4_self_kv_pallas_matches_xla():
     )
     agree = np.mean(np.asarray(xla.tokens) == np.asarray(flash.tokens))
     assert agree >= 0.75, (xla.tokens, flash.tokens)
+
+
+def test_mixed_selfkv_8k4v_close_and_pallas_matches_xla():
+    """self_kv_vbits=4 (int8 keys + int4-group values): cache dtypes/widths
+    split per side, greedy tracks the bf16-cache path, and the Pallas
+    mixed-mode kernel reproduces the XLA unpack path."""
+    from whisper_burn_tpu.models.decoder import self_kv_groups
+
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+    params = random_params(cfg, seed=41, quantized=False)
+    mel = _mel(seed=42)[:, : cfg.n_mels, : cfg.n_audio_ctx * 2]
+    lang = jnp.full((2,), cfg.lang_token_start, jnp.int32)
+
+    mixed = COMPUTE.replace(self_kv_dtype=jnp.int8, self_kv_vbits=4)
+    cache = init_cache(cfg, 2, mixed)
+    d = cfg.n_text_state
+    assert cache.self_k.dtype == jnp.int8 and cache.self_k.shape[-1] == d
+    assert cache.self_v.dtype == jnp.uint8 and cache.self_v.shape[-1] == d // 2
+    assert cache.self_kv_scale.shape[-1] == 1 + self_kv_groups(d)
+
+    base = greedy_decode(
+        params, cfg, mel, lang, COMPUTE.replace(self_kv_dtype=None), max_tokens=8
+    )
+    quant = greedy_decode(params, cfg, mel, lang, mixed, max_tokens=8)
+    agree = np.mean(np.asarray(base.tokens) == np.asarray(quant.tokens))
+    assert agree >= 0.75, (base.tokens, quant.tokens)
+
+    flash = greedy_decode(
+        params, cfg, mel, lang,
+        Compute.parity().replace(
+            backend=KernelBackend.PALLAS, self_kv_dtype=jnp.int8, self_kv_vbits=4
+        ),
+        max_tokens=8,
+    )
+    xla = greedy_decode(
+        params, cfg, mel, lang,
+        COMPUTE.replace(self_kv_dtype=jnp.int8, self_kv_vbits=4),
+        max_tokens=8,
+    )
+    np.testing.assert_array_equal(np.asarray(flash.tokens), np.asarray(xla.tokens))

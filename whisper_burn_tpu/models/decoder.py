@@ -23,7 +23,6 @@ TPU design (the deliberate departures, SURVEY §7.3):
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import jax
@@ -88,9 +87,13 @@ def init_cache(
     ctx = cfg.n_text_ctx if ctx is None else ctx
     cross_t = cross_cache_len(cfg, compute)
     z = lambda t, dt: jnp.zeros((l, batch, t, d), dt)
-    # int4 self cache: channel pairs (j, j+D/2) share a byte
+    # int4 self caches: channel pairs (j, j+D/2) share a byte; K and V may
+    # differ (mixed 8K/4V mode, compute.self_kv_vbits)
     zs = lambda t, dt: jnp.zeros(
         (l, batch, t, d // 2 if compute.self_kv_packed else d), dt
+    )
+    zsv = lambda t, dt: jnp.zeros(
+        (l, batch, t, d // 2 if compute.self_v_packed else d), dt
     )
     kv_dt = compute.cross_kv_dtype
     # int4: two time positions pack into each stored byte (uint8)
@@ -105,22 +108,19 @@ def init_cache(
     else:
         ck = z(stored_t, kv_dt)
     self_dt = compute.self_kv_storage_dtype
-    if self_kt_layout(cfg, compute, ctx):
-        # transposed self keys [L, B, D, T] + scales [L, B, 2, T] for the
-        # fused self-kT kernel; values stay natural
-        sk = jnp.zeros((l, batch, d, ctx), self_dt)
-        ssc = jnp.zeros((l, batch, 2, ctx), jnp.float32)
-        return KVCache(sk, zs(ctx, self_dt), ck, z(stored_t, kv_dt), *sc, ssc)
-    # int8: one K + one V scale per token; int4: per-channel-group scales
-    # (self_kv_groups each for K and V)
-    ssc_w = 2 * self_kv_groups(d) if compute.self_kv_packed else 2
+    # per-token scale lanes: 1 scalar (int8) or self_kv_groups (int4) per
+    # side, K lanes first then V lanes
+    ssc_w = (self_kv_groups(d) if compute.self_kv_packed else 1) + (
+        self_kv_groups(d) if compute.self_v_packed else 1
+    )
     ssc = (
         jnp.zeros((l, batch, ctx, ssc_w), jnp.float32)
         if compute.quantized_self_kv
         else None
     )
     return KVCache(
-        zs(ctx, self_dt), zs(ctx, self_dt), ck, z(stored_t, kv_dt), *sc, ssc
+        zs(ctx, self_dt), zsv(ctx, compute.self_v_storage_dtype), ck,
+        z(stored_t, kv_dt), *sc, ssc
     )
 
 
@@ -150,43 +150,6 @@ def _flash_cross_ok(cfg: WhisperConfig, compute: Compute) -> bool:
     if compute.kv_packed:
         return False
     return _largest_tile(cross_cache_len(cfg, compute)) is not None
-
-
-def self_kt_layout(cfg: WhisperConfig, compute: Compute, ctx: int) -> bool:
-    """True when the int8 self-KEY cache is stored transposed [L, B, D, T]
-    for the fused self-kT decode kernel (decode_self_attention_kT):
-    heads ride sublanes in the scores matmul and the whole epilogue
-    (extra-key merge + normalize) runs in-kernel. Per-token scales are then
-    stored [L, B, 2, T]. The layout and every reader/writer (init_cache,
-    prefill, the decode step) must agree, so all derive from this one
-    predicate. int4-packed self caches keep the v1 layout.
-
-    Requires :func:`_flash_cross_ok`: the transposed cache only works on
-    the flash decode path, so the layout must never be chosen for a config
-    that would fall back to XLA attention.
-
-    OPT-IN (WB_SELFKT=1): profiled on the real chip, the kernel itself is
-    faster (2.06 vs 2.73 ms/step at B=64, 65 vs 85 us/layer) but the
-    per-step [D, 1] lane-column cache write costs 7.2 ms/step vs 0.35 for
-    the natural row write — a masked read-modify-write across every
-    (32, 128) int8 tile of the key cache. (The earlier "5.4x faster"
-    write measurement in scripts/exp_self_kernel.py was an artifact of
-    enqueue-time sync on this backend.) Net -6.5 ms/step, so the layout
-    stays off until the write is amortized (e.g. a natural-layout recent
-    ring flushed every 128 steps)."""
-    from whisper_burn_tpu.ops.pallas_attention import selfkt_kernel_supported
-
-    if os.environ.get("WB_SELFKT", "0") != "1":  # opt-in: see docstring
-        return False
-    if not compute.use_pallas:
-        return False
-    if not compute.quantized_self_kv or compute.self_kv_packed:
-        return False
-    if not _flash_cross_ok(cfg, compute):
-        return False
-    return selfkt_kernel_supported(
-        ctx, cfg.n_text_state // compute.tp, cfg.n_text_head // compute.tp
-    )
 
 
 def cross_kt_layout(cfg: WhisperConfig, compute: Compute) -> bool:
@@ -540,35 +503,19 @@ def prefill(
         return _logits(dec, x[:, -1], cfg, compute, rows=logit_rows), cache
 
     sl = (slice(None), slice(None), slice(pos_offset, pos_offset + t))
-    self_kt = self_kt_layout(cfg, compute, cache.self_v.shape[2])
     if compute.quantized_self_kv:
-        quant = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
-        ks, ksc = quant(ks)
-        vs, vsc = quant(vs)
-        kvsc = jnp.concatenate([ksc, vsc], axis=-1)  # [L, B, t, 2]
-        if self_kt:  # scales stored [L, B, 2, T]
-            kvsc = jnp.swapaxes(kvsc, 2, 3)
-            cache = cache._replace(
-                self_kv_scale=cache.self_kv_scale.at[
-                    :, :, :, pos_offset : pos_offset + t
-                ].set(kvsc),
-            )
-        else:
-            cache = cache._replace(
-                self_kv_scale=cache.self_kv_scale.at[sl].set(kvsc),
-            )
-    if self_kt:  # keys stored [L, B, D, T]
+        quant_k = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
+        quant_v = _quantize_tokens4 if compute.self_v_packed else _quantize_tokens
+        ks, ksc = quant_k(ks)
+        vs, vsc = quant_v(vs)
+        kvsc = jnp.concatenate([ksc, vsc], axis=-1)  # [L, B, t, kw+vw]
         cache = cache._replace(
-            self_k=cache.self_k.at[:, :, :, pos_offset : pos_offset + t].set(
-                jnp.swapaxes(ks, 2, 3).astype(cache.self_k.dtype)
-            ),
-            self_v=cache.self_v.at[sl].set(vs.astype(cache.self_v.dtype)),
+            self_kv_scale=cache.self_kv_scale.at[sl].set(kvsc),
         )
-    else:
-        cache = cache._replace(
-            self_k=cache.self_k.at[sl].set(ks.astype(cache.self_k.dtype)),
-            self_v=cache.self_v.at[sl].set(vs.astype(cache.self_v.dtype)),
-        )
+    cache = cache._replace(
+        self_k=cache.self_k.at[sl].set(ks.astype(cache.self_k.dtype)),
+        self_v=cache.self_v.at[sl].set(vs.astype(cache.self_v.dtype)),
+    )
     logits = _logits(dec, x[:, -1], cfg, compute, rows=logit_rows)
     return logits, cache
 
@@ -611,7 +558,6 @@ def decode_step(
     # (kT layouts imply the flash path was taken above; XLA attention only
     # ever sees natural [B, T, D] caches)
     assert not (batch_groups > 1 and transposed)
-    assert not self_kt_layout(cfg, compute, cache.self_v.shape[2])
     cross_mask = (
         length_mask(jnp.asarray(cfg.n_audio_ctx), cross_t)
         if cross_t != cfg.n_audio_ctx
@@ -632,9 +578,10 @@ def decode_step(
         h = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
         q, k, v = qkv_proj(bp, h, compute)  # [B, 1, D] each
         if quantized_self:
-            quant = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
-            kq, ksc = quant(k)
-            vq, vsc = quant(v)
+            quant_k = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
+            quant_v = _quantize_tokens4 if compute.self_v_packed else _quantize_tokens
+            kq, ksc = quant_k(k)
+            vq, vsc = quant_v(v)
             sk = jax.lax.dynamic_update_slice(sk, kq[None], (l, 0, pos, 0))
             sv = jax.lax.dynamic_update_slice(sv, vq[None], (l, 0, pos, 0))
             kvsc = jnp.concatenate([ksc, vsc], axis=-1)  # [B, 1, 2]
@@ -648,18 +595,24 @@ def decode_step(
             d_loc = cfg.n_text_state // compute.tp
             sc_full = jax.lax.dynamic_index_in_dim(ssc, l, 0, keepdims=False)
             sc_full = sc_full.astype(compute.dtype)  # [B, ctx, 2] or [B, ctx, 2G]
+            # per-group scales expand to channels (unpack order = group
+            # order: lo-half groups then hi-half groups); K lanes first
+            kw = self_kv_groups(d_loc) if compute.self_kv_packed else 1
             if compute.self_kv_packed:
                 k_full = unpack_int4(k_full, axis=-1, dtype=compute.dtype)
-                v_full = unpack_int4(v_full, axis=-1, dtype=compute.dtype)
-                # per-group scales expand to channels (unpack order = group
-                # order: lo-half groups then hi-half groups)
-                ng = sc_full.shape[-1] // 2
-                gsz = d_loc // ng
-                k_full = k_full * jnp.repeat(sc_full[..., :ng], gsz, axis=-1)
-                v_full = v_full * jnp.repeat(sc_full[..., ng:], gsz, axis=-1)
+                k_full = k_full * jnp.repeat(
+                    sc_full[..., :kw], d_loc // kw, axis=-1
+                )
             else:
                 k_full = k_full.astype(compute.dtype) * sc_full[..., 0:1]
-                v_full = v_full.astype(compute.dtype) * sc_full[..., 1:2]
+            if compute.self_v_packed:
+                vw = self_kv_groups(d_loc)
+                v_full = unpack_int4(v_full, axis=-1, dtype=compute.dtype)
+                v_full = v_full * jnp.repeat(
+                    sc_full[..., kw : kw + vw], d_loc // vw, axis=-1
+                )
+            else:
+                v_full = v_full.astype(compute.dtype) * sc_full[..., kw : kw + 1]
         a = attention(q, k_full, v_full, n_heads, mask=mask, compute=compute)
         x = x + apply_reduce_linear(bp["attn_o"], a, compute)
 
@@ -705,12 +658,10 @@ def _flash_supported(cfg: WhisperConfig, cache: KVCache, compute: Compute) -> bo
     d_loc = cfg.n_text_state // compute.tp
     if h_loc > H_PAD or h_loc == 0 or d_loc % h_loc != 0:
         return False
-    ctx = cache.self_v.shape[2]  # self_k may be transposed (self_kt_layout)
-    if self_kt_layout(cfg, compute, ctx):
-        pass  # the fused self-kT kernel serves self-attention
-    elif _largest_tile(ctx) is None:
+    ctx = cache.self_v.shape[2]
+    if _largest_tile(ctx) is None:
         return False
-    if compute.self_kv_packed and _largest_tile(ctx) != ctx:
+    if (compute.self_kv_packed or compute.self_v_packed) and _largest_tile(ctx) != ctx:
         return False  # int4 self unpack only in the single-pass kernel
     if cross_kt_layout(cfg, compute):
         return True  # the transposed layout is only chosen when supported
@@ -780,14 +731,12 @@ def _decode_step_flash(
         decode_attention_kT,
         decode_attention_layer,
         decode_attention_merged,
-        decode_self_attention_kT,
         flash_merge_extra_key,
         normalize,
     )
 
     dec = params["decoder"]
     h = cfg.n_text_head // compute.tp  # per-shard heads under TP
-    self_kt = self_kt_layout(cfg, compute, cache.self_v.shape[2])
     t_enc = jnp.asarray(cfg.n_audio_ctx, jnp.int32)  # padded tail is masked
     layer_idx = jnp.arange(cfg.n_text_layer)
     quantized_cross = cache.cross_k_scale is not None
@@ -861,19 +810,7 @@ def _decode_step_flash(
         else:
             q, k_new, v_new = qkv_proj(bp, hdn, compute)
         a = None
-        if self_kt:
-            # fused self-kT kernel: transposed keys (heads on sublanes),
-            # whole epilogue in-VMEM — 65.5 us/layer vs the v1 merged
-            # kernel's 103+ (scripts/exp_self_kernel.py). The earlier
-            # heads-on-sublanes attempt was slower only because it kept
-            # the cache time-major and transposed in-kernel; the cache is
-            # now STORED [L, B, D, T] (see self_kt_layout).
-            a = decode_self_attention_kT(
-                q, cache.self_k, cache.self_v, cache.self_kv_scale,
-                l, pos, h, k_new, v_new,
-            )
-            assert a is not None  # layout predicate == kernel support
-        if a is None and ctx_single_tile and batch_groups == 1:
+        if ctx_single_tile and batch_groups == 1:
             a = decode_attention_merged(
                 q, cache.self_k, cache.self_v, l, pos, h, k_new, v_new,
                 kv_scale4=cache.self_kv_scale,
@@ -940,35 +877,18 @@ def _decode_step_flash(
 
     # deferred cache write: one slot across all layers
     if compute.quantized_self_kv:
-        quant = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
-        ks, ksc = quant(ks)  # [L, B, 1, D(/2)] + [L, B, 1, 1]
-        vs, vsc = quant(vs)
-        if self_kt:  # scales stored [L, B, 2, T]: K row 0, V row 1
-            cache = cache._replace(
-                self_kv_scale=jax.lax.dynamic_update_slice(
-                    cache.self_kv_scale,
-                    jnp.concatenate([ksc, vsc], axis=2),  # [L, B, 2, 1]
-                    (0, 0, 0, pos),
-                ),
-            )
-        else:
-            cache = cache._replace(
-                self_kv_scale=jax.lax.dynamic_update_slice(
-                    cache.self_kv_scale, jnp.concatenate([ksc, vsc], axis=-1), (0, 0, pos, 0)
-                ),
-            )
-    if self_kt:
-        # [D, 1] lane-column write into the transposed key cache — costs
-        # 7.2 ms/step at B=64 (masked RMW across every (32, 128) int8 tile;
-        # see self_kt_layout), which is why this layout is opt-in-off
-        sk = jax.lax.dynamic_update_slice(
-            cache.self_k, jnp.swapaxes(ks, 2, 3).astype(cache.self_k.dtype),
-            (0, 0, 0, pos),
+        quant_k = _quantize_tokens4 if compute.self_kv_packed else _quantize_tokens
+        quant_v = _quantize_tokens4 if compute.self_v_packed else _quantize_tokens
+        ks, ksc = quant_k(ks)  # [L, B, 1, D(/2)] + [L, B, 1, kw]
+        vs, vsc = quant_v(vs)
+        cache = cache._replace(
+            self_kv_scale=jax.lax.dynamic_update_slice(
+                cache.self_kv_scale, jnp.concatenate([ksc, vsc], axis=-1), (0, 0, pos, 0)
+            ),
         )
-    else:
-        sk = jax.lax.dynamic_update_slice(
-            cache.self_k, ks.astype(cache.self_k.dtype), (0, 0, pos, 0)
-        )
+    sk = jax.lax.dynamic_update_slice(
+        cache.self_k, ks.astype(cache.self_k.dtype), (0, 0, pos, 0)
+    )
     sv = jax.lax.dynamic_update_slice(
         cache.self_v, vs.astype(cache.self_v.dtype), (0, 0, pos, 0)
     )

@@ -43,8 +43,15 @@ class Compute:
     # token at a time, so per-channel scales can't be fixed up front.
     self_kv_dtype: jnp.dtype | None = None
     # 4 packs the self cache like the cross cache (requires int8
-    # self_kv_dtype); per-token absmax/7 scales, channels packed in pairs.
+    # self_kv_dtype); per-token per-channel-group absmax/7 scales,
+    # channels packed in pairs.
     self_kv_bits: int = 8
+    # V-only override: self_kv_vbits=4 with self_kv_bits=8 stores int8
+    # KEYS (per-token scalar scales — scores are the int4-sensitive path)
+    # and int4-packed VALUES (group scales; value noise averages out under
+    # the softmax) — 25% off the self-KV stream at ~int8 accuracy.
+    # None = follow self_kv_bits for both.
+    self_kv_vbits: int | None = None
     # int8-quantize the tied-embedding logits matmul (decode reads the
     # [V, D] embedding every step — bf16 is 0.13 GB/step at Large-V3; int8
     # halves it). Serving-only; accuracy-gated via the sweep's
@@ -108,13 +115,26 @@ class Compute:
 
     @property
     def self_kv_packed(self) -> bool:
+        """int4 KEYS (V follows unless self_kv_vbits overrides)."""
         return self.quantized_self_kv and self.self_kv_bits == 4
+
+    @property
+    def self_v_packed(self) -> bool:
+        """int4 VALUES (mixed 8K/4V when self_kv_packed is False)."""
+        vbits = self.self_kv_bits if self.self_kv_vbits is None else self.self_kv_vbits
+        return self.quantized_self_kv and vbits == 4
 
     @property
     def self_kv_storage_dtype(self):
         if self.self_kv_packed:
             return jnp.uint8  # nibble-pair container, channels packed
         return self.dtype if self.self_kv_dtype is None else self.self_kv_dtype
+
+    @property
+    def self_v_storage_dtype(self):
+        if self.self_v_packed:
+            return jnp.uint8
+        return self.self_kv_storage_dtype
 
     def replace(self, **kw) -> "Compute":
         return dataclasses.replace(self, **kw)

@@ -47,7 +47,7 @@ H_PAD = 128  # lane width for the per-head m/l state
 def _kernel(
     scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest,
     scale, kt, scaled, g, single_pass, hs, packed=False, fused_out=False,
-    merge_extra=False, ng=0,
+    merge_extra=False, ngk=0, ngv=0, v_packed=False, voff=1,
 ):
     """``scaled=True``: K/V blocks are int8 with per-token absmax scales in
     an extra ``[kt, 2]`` f32 operand (K scale in lane 0, V scale in lane 1)
@@ -76,13 +76,16 @@ def _kernel(
     (flash_merge_extra_key / normalize, ~25 small ops per layer per
     step).
 
-    ``ng > 0`` (packed int4 + per-channel-GROUP scales, VERDICT r3 #2):
-    the scale operand is ``[kt, 2*ng]`` (K groups then V groups; each
-    nibble half gets ng/2 groups of decoder.self_kv_group_size lanes).
-    Scales expand to channels with one tiny one-hot MXU dot per half and
+    ``ngk/ngv > 0`` (packed int4 + per-channel-GROUP scales, VERDICT r3
+    #2): that side's scales are per-token-per-group — K groups occupy
+    scale lanes [0, ngk) and V groups [voff, voff+ngv) (voff = ngk, or 1
+    when K is int8 with a scalar scale — the mixed 8K/4V mode). Each
+    nibble half gets ng/2 groups of decoder.self_kv_group_size lanes;
+    scales expand to channels with one tiny one-hot MXU dot per half and
     fold into the unpacked nibbles — exact dequant, so the bias trick is
     unnecessary (the subtract and the scale multiply fuse into one VPU
-    pass over the tile)."""
+    pass over the tile). ``v_packed`` marks an int4 V cache (K may be
+    int8 at the same time)."""
     if merge_extra:
         if scaled:
             kn_ref, vn_ref, sc_ref, acc_ref, m_ref, l_ref = rest
@@ -109,21 +112,21 @@ def _kernel(
 
     for i in range(g):
         qmat = qmat_ref[i]  # [D, H_PAD]
-        if packed and ng:
+        if packed and ngk:
             # int4 + per-channel-group scales: expand the [kt, ng/2] group
             # scales of each nibble half to channels with a one-hot dot,
             # fold them into the unpacked nibbles (exact dequant), then
             # score with the same two split dots as the legacy path.
             kp = k_ref[0, i].astype(jnp.int32)  # [kt, D/2]
             d2 = kp.shape[1]
-            ngh = ng // 2
+            ngh = ngk // 2
             gidx = jax.lax.broadcasted_iota(jnp.int32, (ngh, d2), 1) // (d2 // ngh)
             gmat = (
                 gidx == jax.lax.broadcasted_iota(jnp.int32, (ngh, d2), 0)
             ).astype(jnp.float32)  # [ngh, d2] one-hot group->lanes
-            sck = sc_ref[0, i, :, 0:ng]  # [kt, ng] K group scales
+            sck = sc_ref[0, i, :, 0:ngk]  # [kt, ngk] K group scales
             sk_lo = jnp.dot(sck[:, :ngh], gmat, preferred_element_type=jnp.float32)
-            sk_hi = jnp.dot(sck[:, ngh:ng], gmat, preferred_element_type=jnp.float32)
+            sk_hi = jnp.dot(sck[:, ngh:ngk], gmat, preferred_element_type=jnp.float32)
             k_lo = (((kp & 15).astype(jnp.float32) - 8.0) * sk_lo).astype(qmat.dtype)
             k_hi = (((kp >> 4).astype(jnp.float32) - 8.0) * sk_hi).astype(qmat.dtype)
             s = jnp.dot(k_lo, qmat[:d2], preferred_element_type=jnp.float32)
@@ -150,7 +153,7 @@ def _kernel(
             # carry zeros in qmat, their m/l state is garbage but sliced
             # away by the wrapper.
             s = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # [kt, Hp]
-        if scaled and not ng:
+        if scaled and not ngk:
             s = s * sc_ref[0, i, :, 0:1]  # [kt, 1] per-token K dequant scale
         s = jnp.where(in_range, s, NEG_BIG)
 
@@ -160,28 +163,34 @@ def _kernel(
             lsum = jnp.sum(p, axis=0, keepdims=True)
             l_ref[i] = lsum
             m_ref[i] = m_new
-            if scaled and not ng:
-                p = p * sc_ref[0, i, :, 1:2]
+            if scaled and not ngv:
+                p = p * sc_ref[0, i, :, voff : voff + 1]
             pT = p.astype(qmat.dtype).T[:hs]  # [hs, kt] head rows
-            if packed and ng:
+            if v_packed and ngv:
                 # group-scaled values: fold the expanded per-group V scales
                 # into the unpacked nibbles (exact; no rank-1 correction)
                 vp = v_ref[0, i].astype(jnp.int32)  # [kt, D/2]
-                scv = sc_ref[0, i, :, ng : 2 * ng]  # [kt, ng] V group scales
-                sv_lo = jnp.dot(scv[:, :ngh], gmat, preferred_element_type=jnp.float32)
-                sv_hi = jnp.dot(scv[:, ngh:ng], gmat, preferred_element_type=jnp.float32)
+                d2v = vp.shape[1]
+                nghv = ngv // 2
+                vg = jax.lax.broadcasted_iota(jnp.int32, (nghv, d2v), 1) // (d2v // nghv)
+                vgmat = (
+                    vg == jax.lax.broadcasted_iota(jnp.int32, (nghv, d2v), 0)
+                ).astype(jnp.float32)
+                scv = sc_ref[0, i, :, voff : voff + ngv]  # [kt, ngv] V group scales
+                sv_lo = jnp.dot(scv[:, :nghv], vgmat, preferred_element_type=jnp.float32)
+                sv_hi = jnp.dot(scv[:, nghv:ngv], vgmat, preferred_element_type=jnp.float32)
                 v_lo = (((vp & 15).astype(jnp.float32) - 8.0) * sv_lo).astype(qmat.dtype)
                 v_hi = (((vp >> 4).astype(jnp.float32) - 8.0) * sv_hi).astype(qmat.dtype)
                 pv_lo = jnp.dot(pT, v_lo, preferred_element_type=jnp.float32)
                 pv_hi = jnp.dot(pT, v_hi, preferred_element_type=jnp.float32)
                 acc_val = jnp.concatenate(
                     [
-                        jnp.sum(pv_lo * emat[:hs, :d2], axis=0, keepdims=True),
-                        jnp.sum(pv_hi * emat[:hs, d2:], axis=0, keepdims=True),
+                        jnp.sum(pv_lo * emat[:hs, :d2v], axis=0, keepdims=True),
+                        jnp.sum(pv_hi * emat[:hs, d2v:], axis=0, keepdims=True),
                     ],
                     axis=1,
                 )
-            elif packed:
+            elif v_packed:
                 vp = v_ref[0, i].astype(jnp.int32)  # [kt, D/2]
                 d2 = vp.shape[1]
                 v_lo = (vp & 15).astype(qmat.dtype)
@@ -258,17 +267,25 @@ def _decode_attn_call(
     n_heads, kt, g, batch_groups, interpret, fused_out=False, merge_extra=False,
 ):
     l_dim, _, t, ds = k4.shape
-    packed = k4.dtype == jnp.uint8  # int4 pairs packed along channels
+    packed = k4.dtype == jnp.uint8  # int4 K, pairs packed along channels
+    v_packed = v4.dtype == jnp.uint8  # int4 V (K may stay int8: mixed mode)
     d = ds * 2 if packed else ds
+    ds_v = v4.shape[-1]
     b = q.shape[0]  # stream count; k4 batch = b // batch_groups
     dh = d // n_heads
     scale = 1.0 / np.sqrt(dh)
     # extras = (k_new, v_new)? + (kv_scale4)?
     scaled = len(extras) > (2 if merge_extra else 0)
-    # scale-operand lane width: 2 (per-token K+V scalars) or 2*ng
-    # (per-channel-group int4 scales, decoder._quantize_tokens4)
+    # scale-operand lane width: 2 (per-token K+V scalars), 2*ng (full-int4
+    # group scales), or 1+ng (mixed: int8-K scalar + int4-V groups)
     sw = extras[-1].shape[-1] if scaled else 2
-    ng = sw // 2 if (packed and sw > 2) else 0
+    if packed and v_packed and sw > 2:
+        ngk = ngv = sw // 2
+        voff = ngk
+    elif v_packed and not packed and sw > 2:
+        ngk, ngv, voff = 0, sw - 1, 1
+    else:
+        ngk, ngv, voff = 0, 0, 1
 
     head_of_d = np.arange(d) // dh  # [D]
     dmask = head_of_d[:, None] == np.arange(H_PAD)[None, :]  # [D, Hp]
@@ -278,6 +295,11 @@ def _decode_attn_call(
 
     kv_spec = pl.BlockSpec(
         (1, g, kt, ds),
+        lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
+        memory_space=pltpu.VMEM,
+    )
+    v_spec = pl.BlockSpec(
+        (1, g, kt, ds_v),
         lambda b, s, sc: (sc[0], b // batch_groups, s, 0),
         memory_space=pltpu.VMEM,
     )
@@ -296,7 +318,7 @@ def _decode_attn_call(
             pl.BlockSpec((g, d, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H_PAD, d), lambda b, s, sc: (0, 0), memory_space=pltpu.VMEM),
             kv_spec,
-            kv_spec,
+            v_spec,
             *(
                 [pl.BlockSpec((g, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM)] * 2
                 if merge_extra
@@ -314,7 +336,8 @@ def _decode_attn_call(
         functools.partial(
             _kernel, scale=scale, kt=kt, scaled=scaled, g=g,
             single_pass=single_pass, hs=hs, packed=packed,
-            fused_out=fused_out, merge_extra=merge_extra, ng=ng,
+            fused_out=fused_out, merge_extra=merge_extra,
+            ngk=ngk, ngv=ngv, v_packed=v_packed, voff=voff,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -357,14 +380,22 @@ def decode_attention_layer(
     """
     _, kb, t, ds = k4.shape
     packed = k4.dtype == jnp.uint8
+    v_packed = v4.dtype == jnp.uint8
     d = ds * 2 if packed else ds
+    ds_v = d // 2 if v_packed else d
+    if v4.shape != (k4.shape[0], kb, t, ds_v):
+        return None
     if d % n_heads != 0 or q.shape != (kb * batch_groups, 1, d) or n_heads > H_PAD:
         return None
     kt = _largest_tile(t)
-    if kt is None or (packed and kt != t):
+    if kt is None or ((packed or v_packed) and kt != t):
         return None
-    if packed and kv_scale4 is not None and not _packed_scales_ok(kv_scale4, ds):
+    if (packed or v_packed) and kv_scale4 is not None and not _packed_scales_ok(
+        kv_scale4, ds, ds_v, packed, v_packed
+    ):
         return None
+    if v_packed and not packed and kv_scale4 is None:
+        return None  # mixed mode always carries scales
     b = q.shape[0]
     g = 1
     if batch_groups == 1:
@@ -423,14 +454,22 @@ def decode_attention_merged(
     """
     _, kb, t, ds = k4.shape
     packed = k4.dtype == jnp.uint8
+    v_packed = v4.dtype == jnp.uint8
     d = ds * 2 if packed else ds
+    ds_v = d // 2 if v_packed else d
+    if v4.shape != (k4.shape[0], kb, t, ds_v):
+        return None
     if d % n_heads != 0 or q.shape != (kb, 1, d) or n_heads > H_PAD:
         return None
     kt = _largest_tile(t)
     if kt != t:
         return None  # epilogue fusion needs the one-shot softmax
-    if packed and kv_scale4 is not None and not _packed_scales_ok(kv_scale4, ds):
+    if (packed or v_packed) and kv_scale4 is not None and not _packed_scales_ok(
+        kv_scale4, ds, ds_v, packed, v_packed
+    ):
         return None
+    if v_packed and not packed and kv_scale4 is None:
+        return None  # mixed mode always carries scales
     b = q.shape[0]
     g = 1
     budget = 8 * 1024 * 1024
@@ -460,15 +499,20 @@ def _largest_tile(t: int) -> int | None:
     return None
 
 
-def _packed_scales_ok(kv_scale4, ds: int) -> bool:
-    """Group-scale operand sanity for a packed (uint8) cache: lane width is
-    2 (legacy per-token scalars) or 2*ng with ng/2 dividing the stored
-    half-width ``ds`` (decoder.self_kv_groups layout)."""
+def _packed_scales_ok(kv_scale4, ds_k: int, ds_v: int, k_packed: bool, v_packed: bool) -> bool:
+    """Group-scale operand sanity: lane width must match the cache dtypes —
+    2 (per-token scalars), 2*ng (full-int4 group scales, ng/2 dividing the
+    stored half-width), or 1+ng (mixed int8-K scalar + int4-V groups)."""
     sw = kv_scale4.shape[-1]
-    if sw == 2:
-        return True
-    ng = sw // 2
-    return sw % 2 == 0 and ng % 2 == 0 and ds % (ng // 2) == 0
+    if k_packed and v_packed:
+        if sw == 2:
+            return True  # legacy per-token scalar int4
+        ng = sw // 2
+        return sw % 2 == 0 and ng % 2 == 0 and ds_k % (ng // 2) == 0
+    if v_packed:  # mixed: int8 K (scalar lane 0) + int4-V groups
+        ng = sw - 1
+        return sw >= 3 and ng % 2 == 0 and ds_v % (ng // 2) == 0
+    return sw == 2
 
 
 HS = 32  # head-rows padding (sublane grain) for the kT kernel
@@ -676,139 +720,6 @@ def decode_attention_kT(
         q, kT4, v4, scalars,
         n_heads=n_heads, g=g, batch_groups=batch_groups, interpret=interpret,
         normalized=normalized,
-    )
-
-
-def _selfkt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, sc_ref,
-                   kn_ref, vn_ref, acc_ref, *, scale, g, t):
-    """Self-attention decode step, transposed-key layout, FULL epilogue.
-
-    Scores are ONE ``[HS, D] @ [D, T]`` dot per stream (heads on sublanes
-    — none of the v1 kernel's 128-lane head padding, ~6.4x less MXU), the
-    per-token int8 K/V scales ride lanes (stored ``[2, T]``), and the
-    current token's K/V are flash-merged and the softmax normalized
-    in-kernel, so one pallas_call covers what the v1 path spent a kernel
-    plus ~25 XLA epilogue ops on. Measured 65.5 us/layer at B=64/T=256
-    (78.4% of the HBM roofline) vs 103-168 us for the v1 merged kernel
-    (scripts/exp_self_kernel.py selfkt).
-    """
-    valid = scalar_ref[1]
-    for i in range(g):
-        qh = qh_ref[i]  # [HS, D] compute dtype, row h = q masked to head h
-        k = kT_ref[0, i].astype(qh.dtype)  # [D, T]
-        s = jnp.dot(qh, k, preferred_element_type=jnp.float32) * scale
-        s = s * sc_ref[0, i, 0:1, :]  # per-token K dequant scale on lanes
-        in_range = jax.lax.broadcasted_iota(jnp.int32, (HS, t), 1) < valid
-        s = jnp.where(in_range, s, NEG_BIG)
-        # the current (uncached, unquantized) token: a VPU row reduce
-        kn = kn_ref[i].astype(jnp.float32)  # [1, D]
-        s_e = jnp.sum(qh.astype(jnp.float32) * kn, axis=1, keepdims=True) * scale
-        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_e)  # [HS, 1]
-        p = jnp.where(in_range, jnp.exp(s - m), 0.0)
-        p_e = jnp.exp(s_e - m)
-        l = jnp.sum(p, axis=1, keepdims=True) + p_e
-        pc = (p * sc_ref[0, i, 1:2, :]).astype(qh.dtype)  # fold V scale
-        v = v_ref[0, i].astype(qh.dtype)  # [T, D]
-        pv = jnp.dot(pc, v, preferred_element_type=jnp.float32)  # [HS, D]
-        pv = (pv + p_e * vn_ref[i].astype(jnp.float32)) / l
-        # collapse head rows: out[d] = pv[head(d), d]
-        acc_ref[i] = jnp.sum(pv * hmask_ref[:], axis=0, keepdims=True)
-
-
-@functools.partial(jax.jit, static_argnames=("n_heads", "g", "interpret"))
-def _selfkt_call(q, kT4, v4, scT4, k_new, v_new, scalars, *, n_heads, g, interpret):
-    l_dim, kb, d, t = kT4.shape
-    b = q.shape[0]
-    dh = d // n_heads
-    scale = 1.0 / np.sqrt(dh)
-    head_of_d = np.arange(d) // dh
-    hmask = head_of_d[None, :] == np.arange(HS)[:, None]  # [HS, D]
-    hmask_f = jnp.asarray(hmask, jnp.float32)
-    qh = q.reshape(b, 1, d) * jnp.asarray(hmask, q.dtype)[None]  # [B, HS, D]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # scalars = [layer, valid_len]
-        grid=(b // g,),
-        in_specs=[
-            pl.BlockSpec((g, HS, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((HS, d), lambda b, sc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g, d, t), lambda b, sc: (sc[0], b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g, t, d), lambda b, sc: (sc[0], b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g, 2, t), lambda b, sc: (sc[0], b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (g, 1, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        functools.partial(_selfkt_kernel, scale=scale, g=g, t=t),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=64 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(scalars, qh, hmask_f, kT4, v4, scT4, k_new, v_new)
-
-
-def selfkt_kernel_supported(t: int, d: int, n_heads: int) -> bool:
-    """Static shape check for :func:`decode_self_attention_kT`: int8 cache,
-    whole-T single tile, heads fit the HS sublane rows."""
-    if n_heads > HS or n_heads == 0 or d % n_heads != 0:
-        return False
-    if 2 * t * d > 2 * _KT_VMEM_LIMIT:  # K + V block per stream
-        return False
-    align = 128 if jax.default_backend() not in ("cpu",) else 8
-    return t % align == 0 and t >= align
-
-
-def decode_self_attention_kT(
-    q: jnp.ndarray,  # [B, 1, D]
-    kT4: jnp.ndarray,  # [L, B, D, T] TRANSPOSED int8 self-key cache
-    v4: jnp.ndarray,  # [L, B, T, D] int8 self-value cache (natural)
-    scT4: jnp.ndarray,  # [L, B, 2, T] f32 per-token scales (K row 0, V row 1)
-    layer: jnp.ndarray,
-    valid_len: jnp.ndarray,
-    n_heads: int,
-    k_new: jnp.ndarray,  # [B, 1, D] current token K (unquantized)
-    v_new: jnp.ndarray,
-    *,
-    interpret: bool | None = None,
-) -> jnp.ndarray | None:
-    """Fused self-attention decode step over the transposed self cache.
-
-    Returns the final normalized attention output ``[B, 1, D]`` f32, or
-    None when the shape is unsupported (caller falls back to the v1
-    kernels). CAUTION: the transposed layout makes the per-step [D, 1]
-    lane-column cache write expensive (7.2 ms/step at B=64 on the real
-    chip — a masked RMW across every (32, 128) int8 tile of the key
-    cache; the earlier 5.4x-faster ktwrite measurement was an
-    enqueue-sync artifact), so ``self_kt_layout`` keeps this path opt-in
-    (WB_SELFKT=1) until the write is amortized.
-    """
-    l_dim, kb, d, t = kT4.shape
-    if v4.shape != (l_dim, kb, t, d) or q.shape != (kb, 1, d):
-        return None
-    if kT4.dtype != jnp.int8 or not selfkt_kernel_supported(t, d, n_heads):
-        return None
-    b = q.shape[0]
-    g = 1
-    budget = 16 * 1024 * 1024  # combined K+V block budget per grid step
-    for cand in (16, 8, 4, 2):
-        if b % cand == 0 and cand * 2 * d * t <= budget:
-            g = cand
-            break
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    scalars = jnp.stack(
-        [jnp.asarray(layer, jnp.int32), jnp.asarray(valid_len, jnp.int32)]
-    )
-    return _selfkt_call(
-        q, kT4, v4, scT4, k_new, v_new, scalars,
-        n_heads=n_heads, g=g, interpret=interpret,
     )
 
 
