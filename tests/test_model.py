@@ -398,3 +398,20 @@ def test_mixed_selfkv_8k4v_close_and_pallas_matches_xla():
         max_tokens=8,
     )
     np.testing.assert_array_equal(np.asarray(flash.tokens), np.asarray(xla.tokens))
+
+
+def test_growing_cache_matches_single_phase(params):
+    """The two-phase growing self cache (whisper.greedy_decode grow_cache)
+    produces identical tokens to the single-phase run — padded keys are
+    masked on every path, so the phase split is pure traffic shaping.
+    max_tokens=124 -> ctx=128, phase-1 ctx=64 (the grow path engages)."""
+    lang = jnp.full((2,), CFG.lang_token_start, jnp.int32)
+    mel = _mel(seed=17)
+    grown = greedy_decode(params, CFG, mel, lang, COMPUTE, max_tokens=124)
+    single = greedy_decode(
+        params, CFG, mel, lang, COMPUTE, max_tokens=124, grow_cache=False
+    )
+    np.testing.assert_array_equal(np.asarray(grown.tokens), np.asarray(single.tokens))
+    np.testing.assert_array_equal(
+        np.asarray(grown.n_generated), np.asarray(single.n_generated)
+    )

@@ -89,6 +89,7 @@ def greedy_decode(
     detect: bool = False,
     max_tokens: int = MAX_TOKENS,
     task: str = "transcribe",
+    grow_cache: bool = True,
 ) -> GreedyResult:
     """Transcribe mel ``[B, n_mels, 3000]`` to token ids.
 
@@ -96,13 +97,24 @@ def greedy_decode(
     ``detect=True``, entries ``< 0`` are auto-detected. ``task`` selects
     the prompt task token: "transcribe" (reference behavior) or
     "translate" (to-English; same token layout, src/model/config.rs:67).
+    ``grow_cache``: two-phase self cache (half-size for the first half of
+    the run) — identical tokens, less HBM traffic; disable to compile a
+    single decode phase.
     """
     b = mel.shape[0]
     enc_out = encode(params, mel, cfg, compute)
 
     # right-size the self cache: prompt + generated tokens, 64-aligned
     ctx = min(cfg.n_text_ctx, max(64, -(-(PROMPT_LEN + max_tokens) // 64) * 64))
-    cache = init_cache(cfg, b, compute, ctx=ctx)
+    # two-phase growing cache: the first ctx/2 - PROMPT steps run against a
+    # half-size self cache (the decode kernel reads the whole tile every
+    # step, so halving the cache halves the self-KV stream), then the cache
+    # zero-pads to full size and decoding continues — bit-identical tokens
+    # (padded keys are masked on every path), ~25-30% off the average
+    # per-step self-KV read for one extra compiled phase.
+    ctx1 = ctx // 2
+    grow = grow_cache and ctx1 >= 64 and ctx1 % 64 == 0
+    cache = init_cache(cfg, b, compute, ctx=ctx1 if grow else ctx)
     cache = fill_cross_cache(params, cfg, enc_out, cache, compute)
 
     if detect:
@@ -138,9 +150,6 @@ def greedy_decode(
         done: jnp.ndarray
         cache: KVCache
 
-    def cond(s: State) -> jnp.ndarray:
-        return (s.k < max_tokens) & ~jnp.all(s.done)
-
     def body(s: State) -> State:
         pos = PROMPT_LEN + s.k - 1  # cache slot for the token being fed
         logits, cache = decode_step(params, cfg, s.cur, pos, s.cache, compute)
@@ -153,8 +162,28 @@ def greedy_decode(
         tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.k))
         return State(s.k + 1, nxt, tokens, s.done | (nxt == EOT), cache)
 
+    state = State(jnp.asarray(1, jnp.int32), first, tokens, done0, cache)
+    if grow:
+        # phase 1: positions stay < ctx1 (the last write lands at ctx1-1)
+        cap1 = min(max_tokens, ctx1 - PROMPT_LEN)
+        state = jax.lax.while_loop(
+            lambda s: (s.k < cap1) & ~jnp.all(s.done), body, state
+        )
+        pad_t = lambda a: jnp.pad(
+            a, ((0, 0), (0, 0), (0, ctx - ctx1), (0, 0))
+        )
+        c1 = state.cache
+        grown = c1._replace(
+            self_k=pad_t(c1.self_k),
+            self_v=pad_t(c1.self_v),
+            self_kv_scale=(
+                pad_t(c1.self_kv_scale) if c1.self_kv_scale is not None else None
+            ),
+        )
+        state = State(state.k, state.cur, state.tokens, state.done, grown)
+
     final = jax.lax.while_loop(
-        cond, body, State(jnp.asarray(1, jnp.int32), first, tokens, done0, cache)
+        lambda s: (s.k < max_tokens) & ~jnp.all(s.done), body, state
     )
 
     n_gen = jnp.sum(final.tokens != EOT, axis=-1).astype(jnp.int32)
