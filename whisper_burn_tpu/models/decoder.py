@@ -225,6 +225,11 @@ def _logits(
             x.astype(compute.dtype), q["qw"], q["scales"], compute,
             out_dtype=jnp.float32,
         )
+        # tok_emb_q is pre-padded to the kernel's 512-wide N tile
+        # (transcribe.quantize_logit_embedding); slice back so logits
+        # widths match the unquantized path (the slice fuses into the
+        # pad mask below — no copy)
+        logits = logits[..., : cfg.n_vocab_padded]
     else:
         logits = jnp.matmul(
             x.astype(compute.dtype),

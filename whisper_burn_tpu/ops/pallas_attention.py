@@ -45,8 +45,8 @@ H_PAD = 128  # lane width for the per-head m/l state
 
 
 def _kernel(
-    scalar_ref, qmat_ref, emat_ref, k_ref, v_ref, *rest,
-    scale, kt, scaled, g, single_pass, hs, packed=False, fused_out=False,
+    scalar_ref, q_ref, k_ref, v_ref, *rest,
+    scale, kt, scaled, g, single_pass, hs, dh, packed=False, fused_out=False,
     merge_extra=False, ngk=0, ngv=0, v_packed=False, voff=1,
 ):
     """``scaled=True``: K/V blocks are int8 with per-token absmax scales in
@@ -58,34 +58,35 @@ def _kernel(
     ``g``: number of query streams handled per grid step. Each grid step
     along the batch axis covers ``g`` consecutive streams with ONE DMA per
     operand — amortizing the per-grid-step fixed cost (DMA descriptors,
-    control) that dominates at decode shapes (measured ~1us/step at B=128,
-    3.3x the pure-bandwidth cost of the int8 tile itself).
+    control) that dominates at decode shapes.
+
+    HEAD MASKS ARE BUILT IN-KERNEL from iota (r4): the previous interface
+    took a host-built ``qmat = q * head_mask [B, D, H_PAD]`` — 21 MB/layer
+    at B=64, materialized in HBM and re-staged per pallas_call, roughly
+    DOUBLING the self-attention HBM traffic (XPlane trace, r4). Now the
+    query arrives as the raw ``[g, 1, D]`` row; scores fold it into K with
+    one VPU broadcast multiply (``s = (k * q) @ onehot``, the same
+    multiply-add set — the head mask entries are exact 0/1), and the
+    constant one-hot head maps are iota compares materialized in VMEM.
 
     ``single_pass=True`` (the whole T fits one key tile — the serving
     config's right-sized ctx=256 cache always does): skips the flash
     running-state init/merge, and contracts values kT-style — transpose p
     to ``[hs, kt]`` head rows and ONE ``[hs, kt] @ [kt, D]`` MXU dot
-    collapsed with a head mask — instead of the ``[kt, Hp] @ [Hp, D]``
-    broadcast dot + elementwise reduce. Measured 96.4 -> 73.9 us/layer at
-    B=64/T=256/int8 (53% -> 70% of the HBM roofline), bit-identical.
+    collapsed with a head mask.
 
     ``fused_out=True`` (requires single_pass): ``acc`` holds the FINAL
     normalized attention output — and with ``merge_extra=True`` two more
     operands (the current token's raw K/V, not yet in the cache) are
-    flash-merged in-kernel — replacing the per-layer XLA epilogue
-    (flash_merge_extra_key / normalize, ~25 small ops per layer per
-    step).
+    flash-merged in-kernel — replacing the per-layer XLA epilogue.
 
-    ``ngk/ngv > 0`` (packed int4 + per-channel-GROUP scales, VERDICT r3
-    #2): that side's scales are per-token-per-group — K groups occupy
-    scale lanes [0, ngk) and V groups [voff, voff+ngv) (voff = ngk, or 1
-    when K is int8 with a scalar scale — the mixed 8K/4V mode). Each
-    nibble half gets ng/2 groups of decoder.self_kv_group_size lanes;
-    scales expand to channels with one tiny one-hot MXU dot per half and
-    fold into the unpacked nibbles — exact dequant, so the bias trick is
-    unnecessary (the subtract and the scale multiply fuse into one VPU
-    pass over the tile). ``v_packed`` marks an int4 V cache (K may be
-    int8 at the same time)."""
+    ``ngk/ngv > 0`` (packed int4 + per-channel-GROUP scales): that side's
+    scales are per-token-per-group — K groups occupy scale lanes [0, ngk)
+    and V groups [voff, voff+ngv) (voff = ngk, or 1 when K is int8 with a
+    scalar scale — the mixed 8K/4V mode). Each nibble half gets ng/2
+    groups; scales expand to channels with one tiny one-hot MXU dot per
+    half and fold into the unpacked nibbles (exact dequant).
+    ``v_packed`` marks an int4 V cache (K may be int8 at the same time)."""
     if merge_extra:
         if scaled:
             kn_ref, vn_ref, sc_ref, acc_ref, m_ref, l_ref = rest
@@ -105,18 +106,32 @@ def _kernel(
             l_ref[...] = jnp.zeros_like(l_ref)
 
     valid = scalar_ref[1]
-    emat = emat_ref[:]  # [H_PAD, D]
+    d = q_ref.shape[-1]
+    cdt = q_ref.dtype
+
+    def head_onehot(rows, cols, rows_are_heads, dtype):
+        # [rows, cols] one-hot head map: entry 1 where the channel belongs
+        # to the head (channel axis // dh == head axis). The compare goes
+        # through f32 before any narrow cast: Mosaic cannot relayout i1
+        # vectors from (8,128) to the bf16 (16,128) tiling directly.
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        m = ((c // dh == r) if rows_are_heads else (r // dh == c))
+        return m.astype(jnp.float32).astype(dtype)
+
+    oh_dH = head_onehot(d, H_PAD, False, cdt)  # [d, Hp]: channel -> head col
+    oh_Hd = head_onehot(H_PAD, d, True, cdt)  # [Hp, d]: head row -> channels
+    oh_hs = head_onehot(hs, d, True, jnp.float32)  # [hs, d]
 
     j = jax.lax.broadcasted_iota(jnp.int32, (kt, 1), 0) + t_step * kt
     in_range = j < valid  # [kt, 1]
 
     for i in range(g):
-        qmat = qmat_ref[i]  # [D, H_PAD]
+        q_row = q_ref[i]  # [1, d] compute dtype
         if packed and ngk:
             # int4 + per-channel-group scales: expand the [kt, ng/2] group
             # scales of each nibble half to channels with a one-hot dot,
-            # fold them into the unpacked nibbles (exact dequant), then
-            # score with the same two split dots as the legacy path.
+            # fold them (and q) into the unpacked nibbles — exact dequant.
             kp = k_ref[0, i].astype(jnp.int32)  # [kt, D/2]
             d2 = kp.shape[1]
             ngh = ngk // 2
@@ -127,32 +142,29 @@ def _kernel(
             sck = sc_ref[0, i, :, 0:ngk]  # [kt, ngk] K group scales
             sk_lo = jnp.dot(sck[:, :ngh], gmat, preferred_element_type=jnp.float32)
             sk_hi = jnp.dot(sck[:, ngh:ngk], gmat, preferred_element_type=jnp.float32)
-            k_lo = (((kp & 15).astype(jnp.float32) - 8.0) * sk_lo).astype(qmat.dtype)
-            k_hi = (((kp >> 4).astype(jnp.float32) - 8.0) * sk_hi).astype(qmat.dtype)
-            s = jnp.dot(k_lo, qmat[:d2], preferred_element_type=jnp.float32)
-            s = s + jnp.dot(k_hi, qmat[d2:], preferred_element_type=jnp.float32)
+            k_lo = (((kp & 15).astype(jnp.float32) - 8.0) * sk_lo).astype(cdt)
+            k_hi = (((kp >> 4).astype(jnp.float32) - 8.0) * sk_hi).astype(cdt)
+            s = jnp.dot(k_lo * q_row[:, :d2], oh_dH[:d2], preferred_element_type=jnp.float32)
+            s = s + jnp.dot(k_hi * q_row[:, d2:], oh_dH[d2:], preferred_element_type=jnp.float32)
             s = s * scale
         elif packed:
             # int4 nibble pairs (channels j / j+D/2 share a byte) with the
-            # bias trick: dot the biased nibbles [0..15] and fold the -8
-            # out as a rank-1 correction (see _kt_kernel), so the unpack
-            # is two VPU converts, no big-tensor subtract.
+            # bias trick: dot the q-folded biased nibbles [0..15] and fold
+            # the -8 out as a rank-1 correction.
             kp = k_ref[0, i].astype(jnp.int32)  # [kt, D/2]
             d2 = kp.shape[1]
-            k_lo = (kp & 15).astype(qmat.dtype)
-            k_hi = (kp >> 4).astype(qmat.dtype)
-            qsum = jnp.sum(qmat.astype(jnp.float32), axis=0, keepdims=True)
-            s = jnp.dot(k_lo, qmat[:d2], preferred_element_type=jnp.float32)
-            s = s + jnp.dot(k_hi, qmat[d2:], preferred_element_type=jnp.float32)
+            k_lo = (kp & 15).astype(cdt)
+            k_hi = (kp >> 4).astype(cdt)
+            qsum = jnp.dot(q_row, oh_dH, preferred_element_type=jnp.float32)  # [1, Hp]
+            s = jnp.dot(k_lo * q_row[:, :d2], oh_dH[:d2], preferred_element_type=jnp.float32)
+            s = s + jnp.dot(k_hi * q_row[:, d2:], oh_dH[d2:], preferred_element_type=jnp.float32)
             s = (s - 8.0 * qsum) * scale
         else:
             # int8 caches convert to the compute dtype in VMEM (per-channel
-            # scales are folded into q / the output by the caller)
-            k = k_ref[0, i].astype(qmat.dtype)  # [kt, D]
-            # scores for all heads in one MXU op; padded head columns
-            # carry zeros in qmat, their m/l state is garbage but sliced
-            # away by the wrapper.
-            s = jnp.dot(k, qmat, preferred_element_type=jnp.float32) * scale  # [kt, Hp]
+            # scales are folded into q / the output by the caller); the
+            # scores for all heads are ONE MXU op over the q-folded keys.
+            k = k_ref[0, i].astype(cdt)  # [kt, D]
+            s = jnp.dot(k * q_row, oh_dH, preferred_element_type=jnp.float32) * scale
         if scaled and not ngk:
             s = s * sc_ref[0, i, :, 0:1]  # [kt, 1] per-token K dequant scale
         s = jnp.where(in_range, s, NEG_BIG)
@@ -165,7 +177,7 @@ def _kernel(
             m_ref[i] = m_new
             if scaled and not ngv:
                 p = p * sc_ref[0, i, :, voff : voff + 1]
-            pT = p.astype(qmat.dtype).T[:hs]  # [hs, kt] head rows
+            pT = p.astype(cdt).T[:hs]  # [hs, kt] head rows
             if v_packed and ngv:
                 # group-scaled values: fold the expanded per-group V scales
                 # into the unpacked nibbles (exact; no rank-1 correction)
@@ -179,63 +191,63 @@ def _kernel(
                 scv = sc_ref[0, i, :, voff : voff + ngv]  # [kt, ngv] V group scales
                 sv_lo = jnp.dot(scv[:, :nghv], vgmat, preferred_element_type=jnp.float32)
                 sv_hi = jnp.dot(scv[:, nghv:ngv], vgmat, preferred_element_type=jnp.float32)
-                v_lo = (((vp & 15).astype(jnp.float32) - 8.0) * sv_lo).astype(qmat.dtype)
-                v_hi = (((vp >> 4).astype(jnp.float32) - 8.0) * sv_hi).astype(qmat.dtype)
+                v_lo = (((vp & 15).astype(jnp.float32) - 8.0) * sv_lo).astype(cdt)
+                v_hi = (((vp >> 4).astype(jnp.float32) - 8.0) * sv_hi).astype(cdt)
                 pv_lo = jnp.dot(pT, v_lo, preferred_element_type=jnp.float32)
                 pv_hi = jnp.dot(pT, v_hi, preferred_element_type=jnp.float32)
                 acc_val = jnp.concatenate(
                     [
-                        jnp.sum(pv_lo * emat[:hs, :d2v], axis=0, keepdims=True),
-                        jnp.sum(pv_hi * emat[:hs, d2v:], axis=0, keepdims=True),
+                        jnp.sum(pv_lo * oh_hs[:, :d2v], axis=0, keepdims=True),
+                        jnp.sum(pv_hi * oh_hs[:, d2v:], axis=0, keepdims=True),
                     ],
                     axis=1,
                 )
             elif v_packed:
                 vp = v_ref[0, i].astype(jnp.int32)  # [kt, D/2]
                 d2 = vp.shape[1]
-                v_lo = (vp & 15).astype(qmat.dtype)
-                v_hi = (vp >> 4).astype(qmat.dtype)
+                v_lo = (vp & 15).astype(cdt)
+                v_hi = (vp >> 4).astype(cdt)
                 rs = jnp.sum(pT.astype(jnp.float32), axis=1, keepdims=True)
                 pv_lo = jnp.dot(pT, v_lo, preferred_element_type=jnp.float32) - 8.0 * rs
                 pv_hi = jnp.dot(pT, v_hi, preferred_element_type=jnp.float32) - 8.0 * rs
                 acc_val = jnp.concatenate(
                     [
-                        jnp.sum(pv_lo * emat[:hs, :d2], axis=0, keepdims=True),
-                        jnp.sum(pv_hi * emat[:hs, d2:], axis=0, keepdims=True),
+                        jnp.sum(pv_lo * oh_hs[:, :d2], axis=0, keepdims=True),
+                        jnp.sum(pv_hi * oh_hs[:, d2:], axis=0, keepdims=True),
                     ],
                     axis=1,
                 )
             else:
-                v = v_ref[0, i].astype(qmat.dtype)
+                v = v_ref[0, i].astype(cdt)
                 pv = jnp.dot(pT, v, preferred_element_type=jnp.float32)  # [hs, D]
                 # collapse head rows: acc[d] = pv[head(d), d]
-                acc_val = jnp.sum(pv * emat[:hs], axis=0, keepdims=True)
+                acc_val = jnp.sum(pv * oh_hs, axis=0, keepdims=True)
 
             if not fused_out:
                 acc_ref[i] = acc_val
                 continue
-            # fused epilogue: emat rows are one-hot over each head's dh
+            # fused epilogue: oh_Hd rows are one-hot over each head's dh
             # lanes, so the f32 [1,Hp]@[Hp,D] dots below are EXACT
             # per-head broadcasts (identical math to the XLA
             # flash_merge_extra_key / normalize they replace)
-            emat32 = emat.astype(jnp.float32)
+            oh32 = oh_Hd.astype(jnp.float32)
             if merge_extra:
-                kn = kn_ref[i].astype(qmat.dtype)  # [1, D] current token K
+                kn = kn_ref[i].astype(cdt)  # [1, D] current token K
                 vn = vn_ref[i].astype(jnp.float32)
-                s_e = jnp.dot(kn, qmat, preferred_element_type=jnp.float32) * scale
+                s_e = jnp.dot(kn * q_row, oh_dH, preferred_element_type=jnp.float32) * scale
                 m2 = jnp.maximum(m_new, s_e)
                 alpha = jnp.exp(m_new - m2)  # [1, Hp]
                 beta = jnp.exp(s_e - m2)
                 l2 = lsum * alpha + beta
-                alpha_f = jnp.dot(alpha, emat32, preferred_element_type=jnp.float32)
-                beta_f = jnp.dot(beta, emat32, preferred_element_type=jnp.float32)
-                l2_f = jnp.dot(l2, emat32, preferred_element_type=jnp.float32)
+                alpha_f = jnp.dot(alpha, oh32, preferred_element_type=jnp.float32)
+                beta_f = jnp.dot(beta, oh32, preferred_element_type=jnp.float32)
+                l2_f = jnp.dot(l2, oh32, preferred_element_type=jnp.float32)
                 acc_ref[i] = (acc_val * alpha_f + beta_f * vn) / l2_f
             else:
-                l_f = jnp.dot(lsum, emat32, preferred_element_type=jnp.float32)
+                l_f = jnp.dot(lsum, oh32, preferred_element_type=jnp.float32)
                 acc_ref[i] = acc_val / l_f
             continue
-        v = v_ref[0, i].astype(qmat.dtype)
+        v = v_ref[0, i].astype(cdt)
 
         m_prev = m_ref[i]  # [1, Hp]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
@@ -249,9 +261,9 @@ def _kernel(
         # reduce over the key axis: acc_d += sum_t p[t, head(d)] * v[t, d]
         if scaled:
             p = p * sc_ref[0, i, :, 1:2]  # fold per-token V scale into p
-        p_full = jnp.dot(p.astype(v.dtype), emat, preferred_element_type=jnp.float32)  # [kt, D]
+        p_full = jnp.dot(p.astype(v.dtype), oh_Hd, preferred_element_type=jnp.float32)  # [kt, D]
         pv = jnp.sum(p_full * v.astype(jnp.float32), axis=0, keepdims=True)  # [1, D]
-        alpha_full = jnp.dot(alpha.astype(v.dtype), emat, preferred_element_type=jnp.float32)
+        alpha_full = jnp.dot(alpha.astype(v.dtype), oh_Hd, preferred_element_type=jnp.float32)
         acc_ref[i] = acc_ref[i] * alpha_full + pv
 
 
@@ -287,11 +299,7 @@ def _decode_attn_call(
     else:
         ngk, ngv, voff = 0, 0, 1
 
-    head_of_d = np.arange(d) // dh  # [D]
-    dmask = head_of_d[:, None] == np.arange(H_PAD)[None, :]  # [D, Hp]
-    dmask = jnp.asarray(dmask, q.dtype)
-    qmat = q.reshape(b, d, 1) * dmask[None]  # [B, D, Hp]
-    emat = dmask.T  # [Hp, D]
+    q3 = q.reshape(b, 1, d)  # head maps are built in-kernel from iota (r4)
 
     kv_spec = pl.BlockSpec(
         (1, g, kt, ds),
@@ -315,8 +323,7 @@ def _decode_attn_call(
         num_scalar_prefetch=1,  # scalars = [layer, valid_len]
         grid=grid,
         in_specs=[
-            pl.BlockSpec((g, d, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H_PAD, d), lambda b, s, sc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
             kv_spec,
             v_spec,
             *(
@@ -335,7 +342,7 @@ def _decode_attn_call(
     acc, m, l = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, kt=kt, scaled=scaled, g=g,
-            single_pass=single_pass, hs=hs, packed=packed,
+            single_pass=single_pass, hs=hs, dh=dh, packed=packed,
             fused_out=fused_out, merge_extra=merge_extra,
             ngk=ngk, ngv=ngv, v_packed=v_packed, voff=voff,
         ),
@@ -350,7 +357,7 @@ def _decode_attn_call(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(scalars, qmat, emat, k4, v4, *extras)
+    )(scalars, q3, k4, v4, *extras)
     return acc, m[..., :n_heads], l[..., :n_heads]
 
 
@@ -519,7 +526,7 @@ HS = 32  # head-rows padding (sublane grain) for the kT kernel
 _KT_VMEM_LIMIT = 4 * 1024 * 1024  # per-operand block budget, bytes
 
 
-def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_ref, *, scale, packed, g, t, normalized=False):
+def _kt_kernel(scalar_ref, q_ref, kT_ref, v_ref, acc_ref, m_ref, l_ref, *, scale, packed, g, t, dh, normalized=False):
     """Single-pass decode attention with transposed keys.
 
     The v1 kernel (:func:`_kernel`) pads H=20 heads to 128 lanes, so both
@@ -542,10 +549,23 @@ def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_r
     v_lo) + dot(p_hi, v_hi)`` (p halves are lane slices). The nibble
     extract is 2 VPU ops per stored byte; the expensive lane/sublane
     concatenate of the original layout is gone.
+
+    The query arrives RAW ``[g, 1, D]`` and the head layout ``qh[h, d] =
+    q[d] * (d // dh == h)`` is built in-kernel (broadcast + iota compare,
+    r4) — the host-built qh/hmask operands cost a [B, 32, D] bf16
+    materialization + staging copy per layer per step.
     """
     valid = scalar_ref[1]
+    d = q_ref.shape[-1]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (HS, d), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (HS, d), 1)
+    # f32 mask (i1 -> bf16 relayout is unsupported in Mosaic)
+    hmask_f = (cc // dh == rr).astype(jnp.float32)
     for i in range(g):
-        qh = qh_ref[i]  # [HS, D] compute dtype, row h = q masked to head h
+        q_row = q_ref[i]  # [1, d] compute dtype
+        qh = (
+            jnp.broadcast_to(q_row.astype(jnp.float32), (HS, d)) * hmask_f
+        ).astype(q_row.dtype)
         if packed:
             # BIAS TRICK: dot the *biased* nibbles [0..15] straight off the
             # unpack and fold the -8 out as one rank-1 correction,
@@ -590,7 +610,7 @@ def _kt_kernel(scalar_ref, qh_ref, hmask_ref, kT_ref, v_ref, acc_ref, m_ref, l_r
             # (replaces the XLA `normalize` repeat+divide epilogue)
             pv = pv / l
         # collapse head rows: out[d] = pv[head(d), d]
-        acc_ref[i] = jnp.sum(pv * hmask_ref[:], axis=0, keepdims=True)  # [1, D]
+        acc_ref[i] = jnp.sum(pv * hmask_f, axis=0, keepdims=True)  # [1, D]
         m_ref[i] = m
         l_ref[i] = l
 
@@ -606,18 +626,14 @@ def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, g, batch_groups, interpret, n
     dh = d // n_heads
     scale = 1.0 / np.sqrt(dh)
 
-    head_of_d = np.arange(d) // dh  # [D]
-    hmask = head_of_d[None, :] == np.arange(HS)[:, None]  # [HS, D]
-    hmask_f = jnp.asarray(hmask, jnp.float32)
-    qh = q.reshape(b, 1, d) * jnp.asarray(hmask, q.dtype)[None]  # [B, HS, D]
+    q3 = q.reshape(b, 1, d)  # head layout built in-kernel (r4)
 
     ts = t // 2 if packed else t  # stored key positions in the V array
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # scalars = [layer, valid_len]
         grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((g, HS, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((HS, d), lambda b, sc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, d), lambda b, sc: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, g, ds, t),
                 lambda b, sc: (sc[0], b // batch_groups, 0, 0),
@@ -637,7 +653,8 @@ def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, g, batch_groups, interpret, n
     )
     acc, m, l = pl.pallas_call(
         functools.partial(
-            _kt_kernel, scale=scale, packed=packed, g=g, t=t, normalized=normalized
+            _kt_kernel, scale=scale, packed=packed, g=g, t=t, dh=dh,
+            normalized=normalized,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -651,7 +668,7 @@ def _kt_attn_call(q, kT4, v4, scalars, *, n_heads, g, batch_groups, interpret, n
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(scalars, qh, hmask_f, kT4, v4)
+    )(scalars, q3, kT4, v4)
     # [B, HS, 1] -> [B, 1, H] for interface parity with the v1 kernel
     return acc, m[:, :n_heads, 0][:, None, :], l[:, :n_heads, 0][:, None, :]
 

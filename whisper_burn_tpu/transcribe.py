@@ -77,14 +77,22 @@ class TranscribeResult:
 def quantize_logit_embedding(tok_emb) -> dict:
     """int8 copy of the tied embedding for the decode logits matmul.
 
-    ``tok_emb [Vp, D]`` -> ``{"qw": int8 [D, Vp], "scales": f32 [D/32, Vp]}``
-    — the ops/q4_matmul layout (codes + 32-block absmax/127 scales along
-    K=D), so the same fused Pallas kernel that serves the projections also
-    serves the logits. Padded vocab rows quantize to exact zeros.
+    ``tok_emb [Vp, D]`` -> ``{"qw": int8 [D, Vp512], "scales": f32
+    [D/32, Vp512]}`` — the ops/q4_matmul layout (codes + 32-block
+    absmax/127 scales along K=D), so the same fused Pallas kernel that
+    serves the projections also serves the logits. The vocab axis is
+    pre-padded to the kernel's wide-N tile (512): the wrapper otherwise
+    pads the 66 MB weight operand EVERY decode step (XPlane trace, r4).
+    Padded columns (>= n_vocab anyway) quantize to exact zeros and are
+    -inf-masked by decoder._logits.
     """
     w = np.asarray(tok_emb, np.float32).T  # [D, Vp]
     k, n = w.shape
     assert k % 32 == 0, k
+    n_pad = -(-n // 512) * 512
+    if n_pad != n:
+        w = np.concatenate([w, np.zeros((k, n_pad - n), np.float32)], axis=1)
+        n = n_pad
     w3 = w.reshape(k // 32, 32, n)
     s = np.maximum(np.abs(w3).max(axis=1), 1e-12) / 127.0  # [K/32, N]
     qw = np.clip(np.round(w3 / s[:, None, :]), -127, 127).astype(np.int8)
