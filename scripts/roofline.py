@@ -285,10 +285,13 @@ def bench_logits_q8(rows):
 
     compute = Compute.fastest(kv_bits=4)
     rng = np.random.default_rng(0)
+    # production layout: vocab pre-padded to the 512-wide N tile
+    # (transcribe.quantize_logit_embedding), so the kernel never pads
+    vp = -(-VOCAB // 512) * 512
     qw = jnp.asarray(
-        rng.integers(-127, 127, (D, VOCAB)).astype(np.int8)
+        rng.integers(-127, 127, (D, vp)).astype(np.int8)
     )
-    sc = jnp.asarray(rng.uniform(1e-4, 2e-4, (D // 32, VOCAB)).astype(np.float32))
+    sc = jnp.asarray(rng.uniform(1e-4, 2e-4, (D // 32, vp)).astype(np.float32))
     x0 = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32)).astype(jnp.bfloat16)
 
     @jax.jit

@@ -133,7 +133,10 @@ def main() -> None:
     out = run(params, first, cache)  # compile + warm
     jax.block_until_ready(out)
 
+    import shutil
+
     trace_dir = "/tmp/wb_decode_trace"
+    shutil.rmtree(trace_dir, ignore_errors=True)  # one run per analysis
     os.makedirs(trace_dir, exist_ok=True)
     with jax.profiler.trace(trace_dir):
         out = run(params, *out)

@@ -680,19 +680,19 @@ def _st_lin_ok(st, m: int) -> bool:
     by the layer-indexed Pallas matmul (ops/pallas_q4._q4_matmul_2d_stacked).
     Mirrors q4_matmul_pallas_stacked's own gates via the kernel module's
     constants so they cannot drift (ADVICE r3)."""
-    from whisper_burn_tpu.ops.pallas_q4 import BK, BM_MAX
+    from whisper_burn_tpu.ops.pallas_q4 import BK, BM_MAX, stacked_bn
 
     if not isinstance(st, dict) or "qw" not in st or "scales" not in st:
         return False
     if st["qw"].ndim != 3:
         return False
     _, k, n = st["qw"].shape
-    return m <= BM_MAX and k % BK == 0 and any(n % c == 0 for c in (512, 256, 128))
+    return m <= BM_MAX and k % BK == 0 and stacked_bn(k, n) is not None
 
 
 def _st_ffn_ok(fc1, fc2, m: int) -> bool:
     """Static check for the layer-indexed fused FFN kernel."""
-    from whisper_burn_tpu.ops.pallas_ffn import BF, BM_MAX
+    from whisper_burn_tpu.ops.pallas_ffn import BM_MAX, ffn_bf
 
     if not isinstance(fc1, dict) or "qw" not in fc1 or fc1["qw"].ndim != 3:
         return False
@@ -702,7 +702,10 @@ def _st_ffn_ok(fc1, fc2, m: int) -> bool:
         return False
     l_dim, d, f = fc1["qw"].shape
     return (
-        m <= BM_MAX and f % BF == 0 and "qw" in fc2 and fc2["qw"].shape == (l_dim, f, d)
+        m <= BM_MAX
+        and ffn_bf(d, f) is not None
+        and "qw" in fc2
+        and fc2["qw"].shape == (l_dim, f, d)
     )
 
 

@@ -26,8 +26,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Q4_BLOCK = 32
-BF = 512  # f-tile: divides every Whisper ffn_dim (5120, 4096)
+BF = 512  # minimum f-tile: divides every Whisper ffn_dim (5120, 4096)
 BM_MAX = 256
+
+
+def ffn_bf(d: int, f: int) -> int | None:
+    """f-tile: as wide as VMEM allows (the per-grid-step fixed cost and
+    the dequant VPU passes dominate decode-shape FFNs; bf=512 measured
+    27.6% of the HBM roofline at [64, 1280<->5120]). The budget covers the
+    double-buffered w1 + w2 + scale blocks."""
+    budget = 7 * 1024 * 1024
+    for c in (2560, 2048, 1536, 1280, 1024, 768, 640, 512):
+        if f % c == 0 and (2 * d * c + 2 * (max(d, c) // Q4_BLOCK) * max(d, c) * 4) <= budget:
+            return c
+    return None
 
 _SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
 
@@ -191,7 +203,8 @@ def fused_ffn_pallas_stacked(
     if "qw" not in fc1 or "qw" not in fc2:
         return None
     l_dim, d, f = fc1["qw"].shape
-    if f % BF != 0 or fc2["qw"].shape != (l_dim, f, d):
+    bf = ffn_bf(d, f)
+    if bf is None or fc2["qw"].shape != (l_dim, f, d):
         return None
     if "b" not in fc1 or "b" not in fc2:
         return None
@@ -217,7 +230,7 @@ def fused_ffn_pallas_stacked(
         precision=compute.precision,
         gelu_kind=gelu_kind,
         bm=bm,
-        bf=BF,
+        bf=bf,
         interpret=interpret,
     )
     return y[:m].astype(compute.dtype).reshape(*batch_shape, d)
@@ -235,7 +248,8 @@ def fused_ffn_pallas(
     if "qw" not in fc1 or "qw" not in fc2:
         return None
     d, f = fc1["qw"].shape
-    if f % BF != 0 or fc2["qw"].shape != (f, d):
+    bf = ffn_bf(d, f)
+    if bf is None or fc2["qw"].shape != (f, d):
         return None
     if "b" not in fc1 or "b" not in fc2:
         return None
@@ -260,7 +274,7 @@ def fused_ffn_pallas(
         precision=compute.precision,
         gelu_kind=gelu_kind,
         bm=bm,
-        bf=BF,
+        bf=bf,
         interpret=interpret,
     )
     return y[:m].astype(compute.dtype).reshape(*batch_shape, d)

@@ -104,6 +104,20 @@ def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
+def stacked_bn(k: int, n: int) -> int | None:
+    """N-tile for the layer-indexed whole-K kernel: as WIDE as VMEM allows.
+
+    The per-grid-step fixed cost (~1.2 us: DMA descriptors, control)
+    dominates decode-shape matmuls — bn=256 held the qkv matmul at 27% of
+    the HBM roofline (15 grid steps for [1280, 3840]); bn=1280 is 3 steps.
+    The budget covers the double-buffered weight + scale blocks."""
+    budget = 6 * 1024 * 1024  # bytes per buffered operand set
+    for c in (1536, 1280, 1024, 768, 640, 512, 384, 256, 128):
+        if n % c == 0 and (k * c + (k // Q4_BLOCK) * c * 4) <= budget:
+            return c
+    return None
+
+
 def _kernel_stacked(scalar_ref, x_ref, qw_ref, sc_ref, o_ref, *, dtype, precision):
     """One (bm, bn) output tile, whole-K reduction, layer-indexed weights.
 
@@ -192,7 +206,7 @@ def q4_matmul_pallas_stacked(
         m *= s
     if m > BM_MAX or k % BK != 0:
         return None
-    bn = next((c for c in (512, 256, 128) if n % c == 0), None)
+    bn = stacked_bn(k, n)
     if bn is None:
         return None
     if interpret is None:
@@ -249,9 +263,10 @@ def q4_matmul_pallas(
         bk = k
         if n >= 8 * BN:
             # very wide N (the tied-embedding logits matmul, [64, 1280] @
-            # [1280, 51872]): widen the N tile too (measured 382 us vs a
-            # 91 us SoL with the default tiling).
-            bn = 512
+            # [1280, 51872]): widen the N tile as far as VMEM allows —
+            # the per-grid-step fixed cost dominates at decode shapes
+            # (bn=512 measured 41% of roofline; see stacked_bn).
+            bn = stacked_bn(k, n) or 512
     m_pad = _round_up(m, bm)
     n_pad = _round_up(n, bn)
     if m_pad != m:
