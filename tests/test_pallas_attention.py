@@ -362,3 +362,31 @@ def test_int4_group_scaled_merged_epilogue():
         q, k_deq, v_deq, h, mask=length_mask(jnp.asarray(pos + 1), t), compute=COMPUTE
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_write_cache_slot_matches_dus():
+    """ops/pallas_cache.write_cache_slot == dynamic_update_slice at every
+    position, int8 and uint8, aliasing preserves untouched slots."""
+    import jax
+
+    from whisper_burn_tpu.ops.pallas_cache import write_cache_slot
+
+    rng = np.random.default_rng(21)
+    for dtype in (np.int8, np.uint8, np.float32):
+        cache = jnp.asarray(rng.integers(0, 100, (3, 4, 16, 128)).astype(dtype))
+        new = jnp.asarray(rng.integers(0, 100, (3, 4, 1, 128)).astype(dtype))
+        for pos in (0, 7, 8, 15):
+            out = write_cache_slot(cache, new, jnp.asarray(pos), interpret=True)
+            assert out is not None
+            ref = jax.lax.dynamic_update_slice(cache, new, (0, 0, pos, 0))
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # unsupported: T not a tile multiple
+    assert (
+        write_cache_slot(
+            jnp.zeros((2, 2, 12, 128), jnp.int8),
+            jnp.zeros((2, 2, 1, 128), jnp.int8),
+            jnp.asarray(0),
+            interpret=True,
+        )
+        is None
+    )
