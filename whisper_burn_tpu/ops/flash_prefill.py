@@ -95,21 +95,46 @@ def prefill_attention(
     n_heads: int,
     compute: Compute,
     *,
+    valid: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray | None:
     """Non-causal full-sequence attention, flash-style. Returns ``[B, T, D]``
     in ``compute.dtype``, or None when the shape is unsupported (caller
-    falls back to the einsum path in models/attention.py)."""
+    falls back to the einsum path in models/attention.py).
+
+    ``valid``: real sequence length when the caller pre-padded T (the
+    encoder pads to a 128-multiple once for its whole layer stack); pad
+    keys are masked, pad-row outputs are garbage the caller discards."""
     b, t, d = q.shape
     if not _supported(t, d, n_heads):
         return None
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    # whole-sequence single-pass kernel: ~2.5x the stock flash kernel at
-    # Whisper shapes (scores stay VMEM-resident, no streaming recurrence)
-    from whisper_burn_tpu.ops.pallas_encoder_attention import encoder_attention
+    from whisper_burn_tpu.ops.pallas_encoder_attention import (
+        encoder_attention,
+        encoder_attention_packed,
+    )
 
+    # packed-layout whole-sequence kernel: heads are lane slices taken
+    # in-kernel, so no 4D head transpose/pad chain exists in XLA at all
+    if t % 128 == 0:
+        out = encoder_attention_packed(
+            q, k, v, n_heads, valid=valid, interpret=interpret
+        )
+        if out is not None:
+            return out.astype(compute.dtype)
+    tp = -(-t // 128) * 128
+    if tp != t:
+        pad = ((0, 0), (0, tp - t), (0, 0))
+        out = encoder_attention_packed(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+            n_heads, valid=t, interpret=interpret,
+        )
+        if out is not None:
+            return out[:, :t].astype(compute.dtype)
+
+    # head-blocked single-pass kernel, then the stock flash kernel
     out = encoder_attention(q, k, v, n_heads, interpret=interpret)
     if out is None:  # T too long for a resident score block: stock flash
         out = _flash_call(q, k, v, n_heads, interpret)

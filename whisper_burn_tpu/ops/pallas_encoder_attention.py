@@ -93,6 +93,100 @@ def _attn_call(q, k, vT, *, n_heads, valid, interpret):
     )(q, k, vT)
 
 
+def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, valid, t, n_heads):
+    """Whole-sequence attention straight off the ``[B, T, D]`` layout.
+
+    Heads are 64-lane slices of the D axis taken in-kernel — the 4D
+    head-major reshape/transpose/pad chain the head-blocked kernel needed
+    in XLA cost ~80 ms of a 259 ms encoder at B=16 (pads 24 ms, layout
+    copies 12 ms, operand staging 34 ms; r4 XPlane trace). The value
+    contraction is the natural ``p [T,T] @ v_h [T,dh]`` NN dot — at dh=64
+    it half-fills the MXU exactly like the transposed form's M=64, so
+    nothing is lost dropping the vT trick (and V needs no transpose)."""
+    dh = q_ref.shape[-1] // n_heads
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        qh = q_ref[0][:, sl]  # [T, dh]
+        kh = k_ref[0][:, sl]
+        s = (
+            jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # [T, T]
+        if valid < t:  # static: pad keys only exist when T was rounded up
+            j = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(j < valid, s, NEG_BIG)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)  # [T, 1]
+        z = jnp.dot(
+            p.astype(v_ref.dtype), v_ref[0][:, sl],
+            preferred_element_type=jnp.float32,
+        )  # [T, dh]
+        o_ref[0, :, sl] = (z / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "valid", "interpret"))
+def _packed_call(q, k, v, *, n_heads, valid, interpret):
+    b, t, d = q.shape
+    dh = d // n_heads
+    scale = 1.0 / np.sqrt(dh)
+    # split D into head groups on a second grid axis so the four
+    # double-buffered [1, T, dgrp] operand blocks + the per-head f32
+    # score block stay inside VMEM (full-D blocks at T=1536/D=1280 OOM'd)
+    budget = 24 * 1024 * 1024  # operand-block budget (x2 buffering, x4 ops)
+    dgrp = dh
+    for cand in range(n_heads, 0, -1):
+        if n_heads % cand == 0 and 8 * t * cand * dh * q.dtype.itemsize <= budget:
+            dgrp = cand * dh
+            break
+    spec = pl.BlockSpec(
+        (1, t, dgrp), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _packed_kernel, scale=scale, valid=valid, t=t, n_heads=dgrp // dh
+        ),
+        grid=(b, d // dgrp),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def encoder_attention_packed(
+    q: jnp.ndarray,  # [B, T, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_heads: int,
+    *,
+    valid: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray | None:
+    """Non-causal whole-sequence attention in the packed [B, T, D] layout.
+
+    ``valid``: number of real key/query positions (rows beyond it are
+    pad; their outputs are garbage the caller slices away). T must be a
+    128-multiple — the encoder pads once for the whole layer stack
+    (models/encoder.py) instead of per layer.
+    """
+    b, t, d = q.shape
+    if t % 128 != 0 or not supported(t, d, n_heads):
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _packed_call(
+        q, k, v, n_heads=n_heads, valid=t if valid is None else valid,
+        interpret=interpret,
+    )
+
+
 def supported(t: int, d: int, n_heads: int) -> bool:
     if d % n_heads:
         return False
