@@ -8,6 +8,7 @@ checkpoint reproduces BASELINE configs 1-3 (token-exact greedy on
 """
 
 import json
+import tempfile
 
 import pytest
 
@@ -27,6 +28,14 @@ def gguf_path(tmp_path_factory):
 
 
 def _run(argv):
+    # Never let a test invocation clobber the tracked PARITY_STATUS.json
+    # (the default --status-out is CWD-relative; ADVICE r4): route it to
+    # a throwaway file unless the test asserts on it explicitly.
+    if "--status-out" not in argv:
+        argv = argv + [
+            "--status-out",
+            tempfile.mktemp(prefix="parity_status_", suffix=".json"),
+        ]
     return main(argv)
 
 
@@ -76,3 +85,53 @@ def test_parity_skips_when_offline(tmp_path, monkeypatch):
     rc = _run(["parity", "--models-dir", str(tmp_path),
                "--audio", TEST_WAV, "--expected", str(tmp_path / "e.json")])
     assert rc == 0
+
+
+def test_parity_offline_status_records_fallback_chain(tmp_path, monkeypatch):
+    """The SKIP record lists every intake step tried (VERDICT r4 #8)."""
+    import whisper_burn_tpu.download as dl
+
+    def boom(*a, **k):
+        raise OSError("no network")
+
+    monkeypatch.setattr(dl, "download_model", boom)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "hf_home"))  # empty cache
+    status = tmp_path / "status.json"
+    rc = _run(["parity", "--models-dir", str(tmp_path),
+               "--audio", TEST_WAV, "--expected", str(tmp_path / "e.json"),
+               "--status-out", str(status)])
+    assert rc == 0
+    rec = json.loads(status.read_text())
+    assert rec["status"] == "SKIP"
+    steps = [s["step"] for s in rec["attempted"]]
+    assert steps == ["download", "hf_cache_scan"]
+
+
+def test_parity_accepts_hf_checkpoint_dir(tmp_path):
+    """--model pointed at a local HF safetensors dir converts in-process
+    and runs the same parity flow (VERDICT r4 #8)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=51865, num_mel_bins=8,
+        encoder_layers=2, encoder_attention_heads=1,
+        decoder_layers=2, decoder_attention_heads=1,
+        d_model=64, encoder_ffn_dim=256, decoder_ffn_dim=256,
+        max_source_positions=16, max_target_positions=64,
+    )
+    torch.manual_seed(0)
+    hf = transformers.WhisperForConditionalGeneration(hf_cfg).eval()
+    hf_dir = tmp_path / "hf_ckpt"
+    hf.save_pretrained(hf_dir)
+
+    status = tmp_path / "status.json"
+    rc = _run(["parity", "--model", str(hf_dir),
+               "--models-dir", str(tmp_path / "models"),
+               "--audio", TEST_WAV,
+               "--expected", str(tmp_path / "expected.json"),
+               "--record", "--max-tokens", "4",
+               "--status-out", str(status)])
+    assert rc == 0
+    converted = list((tmp_path / "models").glob("*.gguf"))
+    assert len(converted) == 1

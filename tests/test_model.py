@@ -415,3 +415,17 @@ def test_growing_cache_matches_single_phase(params):
     np.testing.assert_array_equal(
         np.asarray(grown.n_generated), np.asarray(single.n_generated)
     )
+
+
+def test_int4k_int8v_selfkv_rejected_at_construction():
+    """Compute(self_kv_bits=4, self_kv_vbits=8) — int4 keys / int8 values —
+    has no kernel or cache layout anywhere in the stack; Compute rejects it
+    at construction instead of failing with a trace-time TypeError
+    (ADVICE r4). The supported mixed mode (8K/4V) still constructs."""
+    with pytest.raises(ValueError, match="self_kv_vbits"):
+        Compute.parity().replace(
+            self_kv_dtype=jnp.int8, self_kv_bits=4, self_kv_vbits=8
+        )
+    Compute.parity().replace(
+        self_kv_dtype=jnp.int8, self_kv_bits=8, self_kv_vbits=4
+    )

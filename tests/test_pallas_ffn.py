@@ -41,3 +41,19 @@ def test_declines_untileable_or_dense():
     x = jnp.zeros((4, 128))
     assert fused_ffn_pallas(x, fc1, fc2, "tanh", COMPUTE, interpret=True) is None
     assert fused_ffn_pallas(x, {"w": jnp.zeros((128, 512))}, fc2, "tanh", COMPUTE, interpret=True) is None
+
+
+def test_erf_gelu_polynomial_accuracy():
+    """The in-kernel erf (A&S 7.1.26 — Mosaic cannot lower erf/erfc) stays
+    within f32-polynomial error of the exact gelu; bf16 serving numerics
+    are unchanged by construction."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_burn_tpu.ops.pallas_ffn import _erf, _gelu
+
+    x = jnp.linspace(-6.0, 6.0, 50001)
+    assert float(jnp.abs(_erf(x) - jax.lax.erf(x)).max()) < 5e-6
+    g = _gelu(x, "erf")
+    ref = jax.nn.gelu(x, approximate=False)
+    assert float(jnp.abs(g - ref).max()) < 2e-5

@@ -281,7 +281,58 @@ def _cmd_parity(args: argparse.Namespace) -> int:
         with open(args.status_out, "w") as f:
             json.dump(payload, f, indent=1)
 
+    # Weight intake chain (VERDICT r4 #8): GGUF path -> local HF checkpoint
+    # dir (converted in-process) -> download -> HF hub cache scan. Every
+    # attempted step is recorded in --status-out so the SKIP record shows
+    # exactly what was tried.
+    chain: list[dict] = []
+
+    def _convert_hf_dir(hf_dir: str) -> tuple[str, str | None]:
+        """Convert a local HF Whisper checkpoint dir to Q4_0 GGUF."""
+        from whisper_burn_tpu.gguf.convert import convert_hf_model
+
+        tag = os.path.basename(os.path.normpath(hf_dir)) or "hf"
+        out = os.path.join(args.models_dir, f"{tag}-q4.gguf")
+        os.makedirs(args.models_dir, exist_ok=True)
+        if not os.path.exists(out):
+            convert_hf_model(hf_dir, out)
+        tok = os.path.join(hf_dir, "tokenizer.json")
+        return out, (tok if os.path.exists(tok) else None)
+
+    def _scan_hf_cache() -> str | None:
+        """Find a whisper checkpoint snapshot in the HF hub cache."""
+        import glob
+
+        hub = os.path.join(
+            os.environ.get(
+                "HF_HOME", os.path.expanduser("~/.cache/huggingface")
+            ),
+            "hub",
+        )
+        want = args.variant.replace("_", "-")
+        for repo in sorted(glob.glob(os.path.join(hub, "models--*whisper*"))):
+            if want not in os.path.basename(repo):
+                continue
+            for snap in sorted(
+                glob.glob(os.path.join(repo, "snapshots", "*"))
+            ):
+                if os.path.exists(os.path.join(snap, "config.json")):
+                    return snap
+        return None
+
     model_path, tokenizer_path = args.model, args.tokenizer
+    if model_path is not None and os.path.isdir(model_path):
+        try:
+            model_path, tok = _convert_hf_dir(model_path)
+            tokenizer_path = tokenizer_path or tok
+            chain.append({"step": "convert_hf_dir", "outcome": model_path})
+        except Exception as e:
+            print(f"SKIP: HF dir conversion failed ({e})")
+            chain.append({"step": "convert_hf_dir", "outcome": f"error: {e}"})
+            _write_status(
+                "SKIP", f"HF dir conversion failed: {e}", {"attempted": chain}
+            )
+            return 0
     if model_path is None:
         try:
             from whisper_burn_tpu.download import download_model
@@ -289,16 +340,40 @@ def _cmd_parity(args: argparse.Namespace) -> int:
             model_path, tokenizer_path = download_model(
                 args.variant, args.models_dir
             )
+            chain.append({"step": "download", "outcome": str(model_path)})
         except Exception as e:
-            print(f"SKIP: no --model and download unavailable ({e})")
-            _write_status(
-                "SKIP", f"no --model and download unavailable: {e}",
-                {"attempted": "download", "error_type": type(e).__name__},
+            chain.append(
+                {"step": "download",
+                 "outcome": f"{type(e).__name__}: {e}"}
             )
-            return 0
+            snap = _scan_hf_cache()
+            if snap is None:
+                chain.append({"step": "hf_cache_scan", "outcome": "no snapshot"})
+                print(f"SKIP: no --model and download unavailable ({e})")
+                _write_status(
+                    "SKIP", f"no --model and download unavailable: {e}",
+                    {"attempted": chain, "error_type": type(e).__name__},
+                )
+                return 0
+            try:
+                model_path, tok = _convert_hf_dir(snap)
+                tokenizer_path = tokenizer_path or tok
+                chain.append({"step": "hf_cache_convert", "outcome": model_path})
+            except Exception as e2:
+                chain.append(
+                    {"step": "hf_cache_convert", "outcome": f"error: {e2}"}
+                )
+                print(f"SKIP: HF cache conversion failed ({e2})")
+                _write_status(
+                    "SKIP", f"HF cache conversion failed: {e2}",
+                    {"attempted": chain},
+                )
+                return 0
     if not os.path.exists(model_path):
         print(f"SKIP: model not found at {model_path}")
-        _write_status("SKIP", f"model not found at {model_path}")
+        _write_status(
+            "SKIP", f"model not found at {model_path}", {"attempted": chain}
+        )
         return 0
 
     pipe = build_pipeline(str(model_path), tokenizer_path and str(tokenizer_path), args)
@@ -329,14 +404,17 @@ def _cmd_parity(args: argparse.Namespace) -> int:
         _write_status(
             "NO-BASELINE",
             f"{args.expected} not recorded yet",
-            {"tokens_produced": len(tokens)},
+            {"tokens_produced": len(tokens), "attempted": chain},
         )
     else:
         with open(args.expected) as f:
             expected = json.load(f)
         if expected["tokens"] == tokens:
             print(f"PASS: token-exact match ({len(tokens)} tokens)")
-            _write_status("PASS", "token-exact match", {"tokens": len(tokens)})
+            _write_status(
+                "PASS", "token-exact match",
+                {"tokens": len(tokens), "attempted": chain},
+            )
         else:
             exp = expected["tokens"]
             diverge = next(

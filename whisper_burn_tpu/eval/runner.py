@@ -108,7 +108,7 @@ def evaluate_manifest(
     hyps = [r["text"] for r in rows]
     return EvalSummary(
         n_utterances=len(rows),
-        wer=wer(refs, hyps) if rows else 0.0,
+        wer=wer(refs, hyps, language=language) if rows else 0.0,
         audio_seconds=sum(r["audio_s"] for r in rows),
         inference_seconds=sum(r["inference_ms"] for r in rows) / 1000.0,
     )

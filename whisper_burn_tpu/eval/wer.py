@@ -31,10 +31,18 @@ def normalize_text(text: str, basic: bool = False) -> str:
     return text.strip()
 
 
-def word_errors(reference: str, hypothesis: str) -> tuple[int, int]:
+def _use_basic(language: str | None) -> bool:
+    """English-specific rules only apply to English text (ADVICE r4)."""
+    return language is not None and language.lower() not in ("en", "english")
+
+
+def word_errors(
+    reference: str, hypothesis: str, *, language: str | None = "en"
+) -> tuple[int, int]:
     """(edit_distance, n_reference_words) after normalization."""
-    ref = normalize_text(reference).split()
-    hyp = normalize_text(hypothesis).split()
+    basic = _use_basic(language)
+    ref = normalize_text(reference, basic=basic).split()
+    hyp = normalize_text(hypothesis, basic=basic).split()
     n, m = len(ref), len(hyp)
     if n == 0:
         return (m, 0)
@@ -49,13 +57,22 @@ def word_errors(reference: str, hypothesis: str) -> tuple[int, int]:
     return (prev[m], n)
 
 
-def wer(references: list[str] | str, hypotheses: list[str] | str) -> float:
-    """Corpus-level WER (total errors / total reference words)."""
+def wer(
+    references: list[str] | str,
+    hypotheses: list[str] | str,
+    *,
+    language: str | None = "en",
+) -> float:
+    """Corpus-level WER (total errors / total reference words).
+
+    ``language``: non-English selects basic normalization so English
+    contraction/number/spelling rules never touch other languages.
+    """
     if isinstance(references, str):
         references, hypotheses = [references], [hypotheses]  # type: ignore[list-item]
     total_err = total_words = 0
     for ref, hyp in zip(references, hypotheses, strict=True):
-        e, w = word_errors(ref, hyp)
+        e, w = word_errors(ref, hyp, language=language)
         total_err += e
         total_words += w
     return total_err / max(total_words, 1)

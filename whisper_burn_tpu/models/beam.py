@@ -91,7 +91,6 @@ def beam_decode(
     b = mel.shape[0]
     w = beam_width
     bw = b * w
-    vp_pad = cfg.n_vocab_padded
     enc_out = encode(params, mel, cfg, compute)
 
     ctx = min(cfg.n_text_ctx, max(64, -(-(PROMPT_LEN + max_tokens) // 64) * 64))

@@ -136,6 +136,19 @@ class Compute:
             return jnp.uint8
         return self.self_kv_storage_dtype
 
+    def __post_init__(self) -> None:
+        # int4 keys with wider (int8) values has no kernel or cache layout
+        # anywhere in the stack (_packed_scales_ok rejects it; the XLA path
+        # would mix uint8/int8 cache halves) — reject at construction so
+        # the failure is immediate, not a trace-time TypeError (ADVICE r4).
+        vbits = self.self_kv_bits if self.self_kv_vbits is None else self.self_kv_vbits
+        if self.self_kv_bits == 4 and vbits > 4:
+            raise ValueError(
+                "self_kv_vbits wider than self_kv_bits is unsupported "
+                "(int4 keys require int4 values; the supported mixed mode "
+                "is int8 keys + int4 values: self_kv_bits=8, self_kv_vbits=4)"
+            )
+
     def replace(self, **kw) -> "Compute":
         return dataclasses.replace(self, **kw)
 

@@ -124,6 +124,16 @@ def prefill_attention(
         )
         if out is not None:
             return out.astype(compute.dtype)
+    if valid is not None:
+        # The fallbacks below ignore ``valid`` and would silently attend
+        # over pad keys. Unreachable today (models/encoder.py gates its
+        # stack-wide pad on the same supported() predicate); fail loudly
+        # if those gates ever diverge (ADVICE r4).
+        raise ValueError(
+            f"prefill_attention: packed kernel declined (T={t}, D={d}, "
+            f"H={n_heads}) but caller passed valid={valid}; the fallback "
+            "paths cannot mask pad keys"
+        )
     tp = -(-t // 128) * 128
     if tp != t:
         pad = ((0, 0), (0, tp - t), (0, 0))

@@ -44,9 +44,30 @@ def ffn_bf(d: int, f: int) -> int | None:
 _SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational approximation (max abs error
+    ~3e-6 in f32 arithmetic). Mosaic has no erf/erfc lowering (the
+    OpenAI-frontend ``gelu="erf"`` path crashed the fused FFN kernel at
+    trace time without this); ``exp`` lowers fine, and 3e-6 is ~3 decades
+    below bf16 resolution, so serving numerics are unchanged."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+    )
+    s = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(
+        -z * z
+    )
+    return s * y
+
+
 def _gelu(x, kind):
     if kind == "erf":
-        return jax.nn.gelu(x, approximate=False)
+        x32 = x.astype(jnp.float32)
+        return (0.5 * x32 * (1.0 + _erf(x32 * (1.0 / math.sqrt(2.0))))).astype(
+            x.dtype
+        )
     inner = (x + 0.044715 * x * x * x) * _SQRT_2_OVER_PI
     return x * 0.5 * (jnp.tanh(inner) + 1.0)
 
