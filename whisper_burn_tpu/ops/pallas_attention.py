@@ -144,20 +144,23 @@ def _kernel(
             sk_hi = jnp.dot(sck[:, ngh:ngk], gmat, preferred_element_type=jnp.float32)
             k_lo = (((kp & 15).astype(jnp.float32) - 8.0) * sk_lo).astype(cdt)
             k_hi = (((kp >> 4).astype(jnp.float32) - 8.0) * sk_hi).astype(cdt)
-            s = jnp.dot(k_lo * q_row[:, :d2], oh_dH[:d2], preferred_element_type=jnp.float32)
-            s = s + jnp.dot(k_hi * q_row[:, d2:], oh_dH[d2:], preferred_element_type=jnp.float32)
+            # concat the halves to natural channel order and use the FULL
+            # q row: broadcasting a lane-offset q slice (q_row[:, d2:]) is
+            # an invalid Mosaic relayout at real dims (D=1280)
+            k_cat = jnp.concatenate([k_lo, k_hi], axis=1)  # [kt, D]
+            s = jnp.dot(k_cat * q_row, oh_dH, preferred_element_type=jnp.float32)
             s = s * scale
         elif packed:
             # int4 nibble pairs (channels j / j+D/2 share a byte) with the
             # bias trick: dot the q-folded biased nibbles [0..15] and fold
             # the -8 out as a rank-1 correction.
             kp = k_ref[0, i].astype(jnp.int32)  # [kt, D/2]
-            d2 = kp.shape[1]
             k_lo = (kp & 15).astype(cdt)
             k_hi = (kp >> 4).astype(cdt)
             qsum = jnp.dot(q_row, oh_dH, preferred_element_type=jnp.float32)  # [1, Hp]
-            s = jnp.dot(k_lo * q_row[:, :d2], oh_dH[:d2], preferred_element_type=jnp.float32)
-            s = s + jnp.dot(k_hi * q_row[:, d2:], oh_dH[d2:], preferred_element_type=jnp.float32)
+            # full-q concat form — see the group-scales branch note
+            k_cat = jnp.concatenate([k_lo, k_hi], axis=1)  # [kt, D] biased
+            s = jnp.dot(k_cat * q_row, oh_dH, preferred_element_type=jnp.float32)
             s = (s - 8.0 * qsum) * scale
         else:
             # int8 caches convert to the compute dtype in VMEM (per-channel
@@ -195,13 +198,11 @@ def _kernel(
                 v_hi = (((vp >> 4).astype(jnp.float32) - 8.0) * sv_hi).astype(cdt)
                 pv_lo = jnp.dot(pT, v_lo, preferred_element_type=jnp.float32)
                 pv_hi = jnp.dot(pT, v_hi, preferred_element_type=jnp.float32)
-                acc_val = jnp.concatenate(
-                    [
-                        jnp.sum(pv_lo * oh_hs[:, :d2v], axis=0, keepdims=True),
-                        jnp.sum(pv_hi * oh_hs[:, d2v:], axis=0, keepdims=True),
-                    ],
-                    axis=1,
-                )
+                # concat to [hs, D] and reduce against the FULL oh_hs —
+                # lane-offset slices of the one-hot constant hit the same
+                # Mosaic relayout limit as the K halves above
+                pv_full = jnp.concatenate([pv_lo, pv_hi], axis=1)
+                acc_val = jnp.sum(pv_full * oh_hs, axis=0, keepdims=True)
             elif v_packed:
                 vp = v_ref[0, i].astype(jnp.int32)  # [kt, D/2]
                 d2 = vp.shape[1]
@@ -210,13 +211,8 @@ def _kernel(
                 rs = jnp.sum(pT.astype(jnp.float32), axis=1, keepdims=True)
                 pv_lo = jnp.dot(pT, v_lo, preferred_element_type=jnp.float32) - 8.0 * rs
                 pv_hi = jnp.dot(pT, v_hi, preferred_element_type=jnp.float32) - 8.0 * rs
-                acc_val = jnp.concatenate(
-                    [
-                        jnp.sum(pv_lo * oh_hs[:, :d2], axis=0, keepdims=True),
-                        jnp.sum(pv_hi * oh_hs[:, d2:], axis=0, keepdims=True),
-                    ],
-                    axis=1,
-                )
+                pv_full = jnp.concatenate([pv_lo, pv_hi], axis=1)  # [hs, D]
+                acc_val = jnp.sum(pv_full * oh_hs, axis=0, keepdims=True)
             else:
                 v = v_ref[0, i].astype(cdt)
                 pv = jnp.dot(pT, v, preferred_element_type=jnp.float32)  # [hs, D]
