@@ -204,3 +204,17 @@ def test_serving_over_mesh_token_equality(pipeline):
         assert server.stats.snapshot()["completed"] == 5
     finally:
         server.shutdown()
+
+
+def test_loadtest_occupancy(pipeline):
+    """Under concurrent load the worker drains multi-request batches
+    (occupancy > 1) and throughput multiplies over one-at-a-time serving
+    (the SERVING.md artifact; VERDICT r4 weak #7)."""
+    from scripts.serving_loadtest import run_phase
+
+    snap = run_phase(
+        pipeline, clients=8, requests=32, batch_size=4, max_wait_ms=100
+    )
+    assert snap["completed"] == 32 and not snap["errors"]
+    assert snap["mean_batch_fill"] > 1.5, snap
+    assert snap["latency_ms"]["p95"] >= snap["latency_ms"]["p50"] > 0

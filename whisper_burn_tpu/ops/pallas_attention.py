@@ -41,6 +41,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_BIG = -1e30
+
+
+def _env_g(name: str, default: int, b: int) -> int:
+    """Experiment hook: override a kernel's batch-group block size via env
+    (scripts/exp_insitu.py sweeps these in situ). Ignored unless it divides
+    the batch; never used in production configs."""
+    import os
+
+    v = os.environ.get(name)
+    if v and b % int(v) == 0:
+        return int(v)
+    return default
+
+
 H_PAD = 128  # lane width for the per-head m/l state
 
 
@@ -407,6 +421,7 @@ def decode_attention_layer(
             if b % cand == 0 and cand * kt * ds * k4.dtype.itemsize <= budget:
                 g = cand
                 break
+        g = _env_g("WB_SELF_G", g, b)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     scalars = jnp.stack(
@@ -480,6 +495,7 @@ def decode_attention_merged(
         if b % cand == 0 and cand * kt * ds * k4.dtype.itemsize <= budget:
             g = cand
             break
+    g = _env_g("WB_SELF_G", g, b)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     scalars = jnp.stack(
@@ -724,6 +740,7 @@ def decode_attention_kT(
             if b % cand == 0 and cand * 2 * ds * t * kT4.dtype.itemsize <= budget:
                 g = cand
                 break
+        g = _env_g("WB_CROSS_G", g, b)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     scalars = jnp.stack(

@@ -35,6 +35,11 @@ def ffn_bf(d: int, f: int) -> int | None:
     the dequant VPU passes dominate decode-shape FFNs; bf=512 measured
     27.6% of the HBM roofline at [64, 1280<->5120]). The budget covers the
     double-buffered w1 + w2 + scale blocks."""
+    import os
+
+    v = os.environ.get("WB_FFN_BF")  # experiment hook (scripts/exp_insitu.py)
+    if v and f % int(v) == 0:
+        return int(v)
     budget = 7 * 1024 * 1024
     for c in (2560, 2048, 1536, 1280, 1024, 768, 640, 512):
         if f % c == 0 and (2 * d * c + 2 * (max(d, c) // Q4_BLOCK) * max(d, c) * 4) <= budget:

@@ -91,6 +91,7 @@ class ServingStats:
                 "latency_ms": {
                     "p50": round(pct(0.50) * 1e3, 2),
                     "p90": round(pct(0.90) * 1e3, 2),
+                    "p95": round(pct(0.95) * 1e3, 2),
                     "p99": round(pct(0.99) * 1e3, 2),
                     "max": round((lats[-1] if lats else 0.0) * 1e3, 2),
                 },
