@@ -57,3 +57,19 @@ def test_tp_decode_communicates_only_via_psum(params):
     for op, n in counts.items():
         if op != "all-reduce":
             assert n == 0, f"TP decode gained a non-psum collective: {op} x{n}"
+
+
+def test_tp_beam_decode_communicates_only_via_psum(params):
+    """Beam + TP (VERDICT r4 #7): hypothesis reordering and the grouped
+    cross-cache stay shard-local — beam search must add NO collective
+    beyond the same row-parallel psums greedy uses."""
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_params_tp(params, mesh)
+    mel, lang = _inputs()
+    counts, total = audit_mesh(
+        CFG, COMPUTE, mesh, sharded, mel, lang, beam_width=2
+    )
+    assert counts["all-reduce"] > 0, "TP beam decode lost its psums?"
+    for op, n in counts.items():
+        if op != "all-reduce":
+            assert n == 0, f"TP beam decode gained a non-psum collective: {op} x{n}"

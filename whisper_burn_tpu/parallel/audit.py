@@ -40,24 +40,27 @@ def count_collectives(hlo_text: str) -> dict[str, int]:
 
 
 def compiled_decode_hlo(
-    cfg, compute, mesh, params, mel, lang_tokens, *, max_tokens: int = 8
+    cfg, compute, mesh, params, mel, lang_tokens, *, max_tokens: int = 8,
+    beam_width: int = 1,
 ) -> str:
     """Lower + compile the shard_map decode program, return its HLO text."""
     from whisper_burn_tpu.parallel.sharded import _build
 
     fn = _build(
         cfg, compute, mesh,
-        beam_width=1, detect=False, max_tokens=max_tokens, task="transcribe",
-        length_penalty=1.0,
+        beam_width=beam_width, detect=False, max_tokens=max_tokens,
+        task="transcribe", length_penalty=1.0,
     )
     compiled = fn.lower(params, mel, lang_tokens).compile()
     return "\n".join(m.to_string() for m in compiled.runtime_executable().hlo_modules())
 
 
-def audit_mesh(cfg, compute, mesh, params, mel, lang_tokens, *, max_tokens: int = 8):
+def audit_mesh(cfg, compute, mesh, params, mel, lang_tokens, *, max_tokens: int = 8,
+               beam_width: int = 1):
     """(collective counts, total) for the compiled decode at this mesh."""
     hlo = compiled_decode_hlo(
-        cfg, compute, mesh, params, mel, lang_tokens, max_tokens=max_tokens
+        cfg, compute, mesh, params, mel, lang_tokens, max_tokens=max_tokens,
+        beam_width=beam_width,
     )
     counts = count_collectives(hlo)
     return counts, sum(counts.values())
