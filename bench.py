@@ -23,11 +23,13 @@ Baseline: the 100x-real-time-per-chip target from BASELINE.md (the
 reference publishes no numbers, SURVEY §6).
 
 The stage breakdown runs in a FRESH subprocess (BENCH_MODE=breakdown) at
-the same batch as the headline; if that OOMs (stage-sliced programs can't
-share buffers like the one-jit headline), it retries at half batch and the
-JSON records the fallback explicitly — never silently (ADVICE r2). The
-breakdown also carries bytes-per-decode-step and achieved-GB/s roofline
-accounting so the distance to HBM speed-of-light is tracked, not guessed.
+the same batch as the headline, attributed via cumulative-prefix programs
+(each prefix is ONE jit with the headline's buffer economy, so it fits at
+batch 128 where the r3/r4 stage-sliced version OOM'd — VERDICT r4 #4); a
+half-batch retry remains as a recorded-never-silent fallback (ADVICE r2).
+The breakdown also carries bytes-per-decode-step and achieved-GB/s
+roofline accounting so the distance to HBM speed-of-light is tracked, not
+guessed.
 """
 
 from __future__ import annotations
@@ -224,11 +226,132 @@ def _roofline_accounting(cfg, compute, batch: int, breakdown: dict) -> dict:
 
 
 def _stage_breakdown(cfg, compute, params, audio, lang) -> dict:
-    """Per-stage wall-clock attribution: {mel, encoder, crossfill, prefill,
-    decode, decode_per_token_us} — each stage its own jitted program, timed
-    with device sync via StageTimer (VERDICT r1 item 4). Stage-sliced times
-    add a bit of dispatch overhead vs the fused headline program, so the
-    headline is still measured on the one-jit path above."""
+    """Per-stage wall-clock attribution via CUMULATIVE-PREFIX programs
+    (VERDICT r4 #4): {mel, encoder, crossfill, prefill, decode,
+    decode_per_token_us}.
+
+    The r3/r4 stage-SLICED version (one jit per stage, caches handed
+    between programs with donation) OOM'd at the headline batch 128 — two
+    live copies of the 11 GB cache cross program boundaries no matter how
+    donation is arranged. Instead, each prefix program runs stages
+    0..k inside ONE jit (identical buffer economy to the headline, which
+    fits at 128) and returns only a small reduction; stage k's time is the
+    difference of consecutive prefix timings (min over iters, clamped at
+    0). The diffs also charge each stage the fusion context it has in the
+    real headline program rather than stage-sliced dispatch overhead."""
+    return _stage_breakdown_cumulative(cfg, compute, params, audio, lang)
+
+
+def _stage_breakdown_cumulative(cfg, compute, params, audio, lang) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_burn_tpu.audio.mel import MelFrontend
+    from whisper_burn_tpu.models.config import SOT
+    from whisper_burn_tpu.models.decoder import (
+        decode_step,
+        fill_cross_cache,
+        init_cache,
+        prefill,
+    )
+    from whisper_burn_tpu.models.encoder import encode
+    from whisper_burn_tpu.models.whisper import PROMPT_LEN
+
+    max_tokens = 224
+    mel_frontend = MelFrontend(n_mels=cfg.n_mels, norm="slaney")
+    b = audio.shape[0]
+    ctx = min(cfg.n_text_ctx, max(64, -(-(PROMPT_LEN + max_tokens) // 64) * 64))
+
+    def _prompt(lang):
+        return jnp.stack(
+            [
+                jnp.full((b,), SOT, jnp.int32),
+                lang,
+                jnp.full((b,), cfg.transcribe_token, jnp.int32),
+                jnp.full((b,), cfg.no_timestamps_token, jnp.int32),
+            ],
+            axis=1,
+        )
+
+    # each prefix returns a tiny reduction so outputs stay negligible but
+    # every stage's arrays are fully materialized (no dead-code shortcuts)
+    @jax.jit
+    def upto_mel(p, audio, lang):
+        return jnp.sum(mel_frontend(audio))
+
+    @jax.jit
+    def upto_encoder(p, audio, lang):
+        return jnp.sum(encode(p, mel_frontend(audio), cfg, compute))
+
+    @jax.jit
+    def upto_crossfill(p, audio, lang):
+        enc_out = encode(p, mel_frontend(audio), cfg, compute)
+        cache = fill_cross_cache(
+            p, cfg, enc_out, init_cache(cfg, b, compute, ctx=ctx), compute
+        )
+        return jnp.sum(cache.cross_k.astype(jnp.float32)) + jnp.sum(
+            cache.cross_v.astype(jnp.float32)
+        )
+
+    @jax.jit
+    def upto_prefill(p, audio, lang):
+        enc_out = encode(p, mel_frontend(audio), cfg, compute)
+        cache = fill_cross_cache(
+            p, cfg, enc_out, init_cache(cfg, b, compute, ctx=ctx), compute
+        )
+        logits, cache = prefill(p, cfg, _prompt(lang), cache, compute)
+        return jnp.sum(logits) + jnp.sum(cache.self_k.astype(jnp.float32))
+
+    @jax.jit
+    def upto_decode(p, audio, lang):
+        enc_out = encode(p, mel_frontend(audio), cfg, compute)
+        cache = fill_cross_cache(
+            p, cfg, enc_out, init_cache(cfg, b, compute, ctx=ctx), compute
+        )
+        logits, cache = prefill(p, cfg, _prompt(lang), cache, compute)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        def body(k, carry):
+            tok, cache = carry
+            logits, cache = decode_step(
+                p, cfg, tok, PROMPT_LEN + k - 1, cache, compute
+            )
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+        tok, _ = jax.lax.fori_loop(1, max_tokens, body, (first, cache))
+        return jnp.sum(tok)
+
+    prefixes = [
+        ("mel", upto_mel),
+        ("encoder", upto_encoder),
+        ("crossfill", upto_crossfill),
+        ("prefill", upto_prefill),
+        ("decode", upto_decode),
+    ]
+    iters = int(os.environ.get("BENCH_BREAKDOWN_ITERS", "3"))
+    cum: dict[str, float] = {}
+    for name, fn in prefixes:
+        float(fn(params, audio, lang))  # compile + warm
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(fn(params, audio, lang))  # scalar fetch = full sync
+            best = min(best, time.perf_counter() - t0)
+        cum[name] = best
+
+    ms, prev = {}, 0.0
+    for name, _ in prefixes:
+        ms[name] = round(max(cum[name] - prev, 0.0) * 1e3, 2)
+        prev = cum[name]
+    ms["decode_per_token_us"] = round(
+        max(cum["decode"] - cum["prefill"], 0.0) / (max_tokens - 1) * 1e6, 1
+    )
+    return ms
+
+
+def _stage_breakdown_sliced(cfg, compute, params, audio, lang) -> dict:
+    """The r3/r4 stage-sliced attribution (kept for cross-checking at
+    batches where two cache copies fit; OOMs at the headline batch)."""
     import jax
     import jax.numpy as jnp
 

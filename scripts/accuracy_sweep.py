@@ -59,7 +59,8 @@ def run_sweep(
     rows: str = "all",
     only: set[str] | None = None,
 ):
-    """``rows``: "all" | "serving" | "weight" | "struct" — subset selection
+    """``rows``: "all" | "serving" | "weight" | "struct" |
+    "serving_struct" — subset selection
     so a single axis can be re-swept without the full multi-hour run (the
     matched f32/Q4 Large-V3 fixtures are host-generation-bound).
     ``only``: restrict the serving variants to this name set."""
@@ -109,11 +110,38 @@ def run_sweep(
     do_serving = rows in ("all", "serving")
     do_weight = rows in ("all", "weight")
     do_struct = rows in ("all", "struct")
+    # peaked-fixture counterparts of the serving rows (VERDICT r4 #3):
+    # same KV/compute variants, but the shared Q4 weights come from the
+    # structured fixture, so the reference trajectory has the peaked
+    # logit surface real checkpoints have and the floors stop being
+    # tie-breaking noise
+    do_serving_struct = rows in ("all", "serving_struct")
     acc: dict[str, list] = {k: [] for k in variants} if do_serving else {}
+    if do_serving_struct:
+        for k in variants:
+            acc[k + "_struct"] = []
     if do_weight:
         acc["weight_q4"] = []  # diagnostic: q4@f32 vs f32@f32, iid weights
     if do_struct:
         acc["weight_q4_struct"] = []  # floored: same axis, peaked fixture
+    def _variant_params(base, comp):
+        """Attach the qlog/w8a8 side tables a variant's flags require."""
+        from whisper_burn_tpu.models.params import attach_w8a8
+        from whisper_burn_tpu.transcribe import quantize_logit_embedding
+
+        p = base
+        if comp.w8a8:
+            p = attach_w8a8(p)
+        if comp.quantized_logits:
+            p = {
+                **p,
+                "decoder": {
+                    **p["decoder"],
+                    "tok_emb_q": quantize_logit_embedding(p["decoder"]["tok_emb"]),
+                },
+            }
+        return p
+
     for seed in range(seeds):
         t0 = time.time()
         # matched f32/Q4 pairs: same rng stream -> identical float weights
@@ -212,6 +240,20 @@ def run_sweep(
             )
             acc["weight_q4_struct"].append(dict(seed=seed, **row))
             del params_f32s, params_q4s
+            gc.collect()
+
+        if do_serving_struct:
+            params_q4s = structured_params(cfg, seed=seed, quantized=True)
+            refqs_tokens, refqs_lg, refqs_valid = reference_run(
+                params_q4s, cfg, mel, langs, ref_compute, steps
+            )
+            for name, comp in variants.items():
+                row = compare_variant(
+                    refqs_lg, refqs_valid, _variant_params(params_q4s, comp),
+                    cfg, mel, langs, refqs_tokens, comp, steps,
+                )
+                acc[name + "_struct"].append(dict(seed=seed, **row))
+            del params_q4s
             gc.collect()
 
         print(
@@ -318,7 +360,7 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--out", default="ACCURACY")
     ap.add_argument("--rows", default="all",
-                    choices=["all", "serving", "weight", "struct"])
+                    choices=["all", "serving", "weight", "struct", "serving_struct"])
     ap.add_argument("--only", default=None,
                     help="comma list restricting the serving variants")
     args = ap.parse_args()

@@ -429,3 +429,36 @@ def test_int4k_int8v_selfkv_rejected_at_construction():
     Compute.parity().replace(
         self_kv_dtype=jnp.int8, self_kv_bits=8, self_kv_vbits=4
     )
+
+
+def test_in_kernel_cache_writeback_matches_deferred_writer():
+    """The r5 store path (merged kernel writes the quantized current token
+    into the aliased cache in-place, caches threaded through the scan
+    carry) produces tokens identical to the deferred slot-writer path —
+    the quantization math is shared, so the caches must be bit-identical
+    too. Gate sanity: the serving int8 config takes the store path."""
+    from whisper_burn_tpu.ops.pallas_attention import merged_store_ok
+
+    cfg = WhisperConfig.tiny_test().replace(n_audio_ctx=16)
+    params = random_params(cfg, seed=21, quantized=False)
+    rng = np.random.default_rng(22)
+    mel = jnp.asarray(
+        rng.standard_normal((2, cfg.n_mels, cfg.n_audio_ctx * 2)).astype(np.float32)
+    )
+    lang = jnp.full((2,), cfg.lang_token_start, jnp.int32)
+
+    serving = Compute.parity().replace(
+        backend=KernelBackend.PALLAS, self_kv_dtype=jnp.int8
+    )
+    cache = init_cache(cfg, 2, serving)
+    assert merged_store_ok(cache.self_k, cache.self_v, cache.self_kv_scale, 2)
+
+    stored = greedy_decode(params, cfg, mel, lang, serving, max_tokens=10)
+    deferred = greedy_decode(
+        params, cfg, mel, lang,
+        COMPUTE.replace(self_kv_dtype=jnp.int8),  # XLA path: slot writer
+        max_tokens=10,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stored.tokens), np.asarray(deferred.tokens)
+    )

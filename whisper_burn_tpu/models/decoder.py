@@ -755,6 +755,21 @@ def _decode_step_flash(
     ctx_single_tile = (
         _largest_tile(cache.self_v.shape[2]) == cache.self_v.shape[2]
     )
+    # in-kernel cache write-back (r5): on the merged int8 path the current
+    # token's quantized K/V rows are stored by the attention kernel itself
+    # (aliased 8-row-tile outputs; the tile is already in VMEM for the
+    # attention read) — the self caches move into the scan CARRY so the
+    # in-place aliasing chains through the layers
+    from whisper_burn_tpu.ops.pallas_attention import merged_store_ok
+
+    store_in_kernel = (
+        ctx_single_tile
+        and batch_groups == 1
+        and compute.use_pallas
+        and merged_store_ok(
+            cache.self_k, cache.self_v, cache.self_kv_scale, x.shape[0]
+        )
+    )
 
     from whisper_burn_tpu.ops.pallas_ffn import fused_ffn_pallas_stacked
     from whisper_burn_tpu.ops.pallas_q4 import q4_matmul_pallas_stacked
@@ -807,7 +822,11 @@ def _decode_step_flash(
         b = bp[name].get("b")
         return y + b.astype(y.dtype) if b is not None else y
 
-    def block(x, xs):
+    def block(carry, xs):
+        if store_in_kernel:
+            x, sk_c, sv_c = carry
+        else:
+            x, sk_c, sv_c = carry, cache.self_k, cache.self_v
         bp, l = xs
 
         hdn = layer_norm(x, bp["attn_ln"]["g"], bp["attn_ln"]["b"])
@@ -818,14 +837,27 @@ def _decode_step_flash(
         else:
             q, k_new, v_new = qkv_proj(bp, hdn, compute)
         a = None
-        if ctx_single_tile and batch_groups == 1:
+        if store_in_kernel:
+            # in-kernel cache write-back: quantize the current token here
+            # (identical math to the deferred _quantize_tokens path) and
+            # let the merged kernel land it in the aliased cache — the
+            # separate RMW slot-writer launches disappear; only the tiny
+            # per-token scales still write after the scan
+            kq, ksc_l = _quantize_tokens(k_new)
+            vq, vsc_l = _quantize_tokens(v_new)
+            a, sk_c, sv_c = decode_attention_merged(
+                q, sk_c, sv_c, l, pos, h, k_new, v_new,
+                kv_scale4=cache.self_kv_scale, kq=kq, vq=vq,
+            )
+            scan_out = jnp.concatenate([ksc_l, vsc_l], axis=-1)  # [B, 1, 2]
+        elif ctx_single_tile and batch_groups == 1:
             a = decode_attention_merged(
-                q, cache.self_k, cache.self_v, l, pos, h, k_new, v_new,
+                q, sk_c, sv_c, l, pos, h, k_new, v_new,
                 kv_scale4=cache.self_kv_scale,
             )
         if a is None:
             acc, m, lsum = decode_attention_layer(
-                q, cache.self_k, cache.self_v, l, pos, h,
+                q, sk_c, sv_c, l, pos, h,
                 kv_scale4=cache.self_kv_scale,
             )
             a = flash_merge_extra_key(acc, m, lsum, q, k_new, v_new, h)
@@ -869,6 +901,8 @@ def _decode_step_flash(
             if compute.tp_axis is not None:
                 y = jax.lax.psum(y, compute.tp_axis)
             x = x + (y + bp["fc2"]["b"].astype(y.dtype)).astype(x.dtype)
+        if store_in_kernel:
+            return (x, sk_c, sv_c), scan_out
         return x, (k_new, v_new)
 
     # prune the stacked-kernel weights out of the scanned pytree: scan
@@ -881,6 +915,22 @@ def _decode_step_flash(
     if st_ffn:
         xs_blocks["fc1"] = _prune_scanned(blocks["fc1"])
         xs_blocks["fc2"] = _prune_scanned(blocks["fc2"])
+    if store_in_kernel:
+        (x, sk, sv), scales = jax.lax.scan(
+            block, (x, cache.self_k, cache.self_v), (xs_blocks, layer_idx)
+        )
+        # the K/V rows were written in-kernel; only the per-token scales
+        # ([L, B, 1, 2] f32, ~0.3% of the K/V bytes) still write here
+        cache = cache._replace(
+            self_k=sk,
+            self_v=sv,
+            self_kv_scale=jax.lax.dynamic_update_slice(
+                cache.self_kv_scale, scales, (0, 0, pos, 0)
+            ),
+        )
+        logits = _logits(dec, x[:, 0], cfg, compute)
+        return logits, cache
+
     x, (ks, vs) = jax.lax.scan(block, x, (xs_blocks, layer_idx))
 
     # deferred cache write: one slot across all layers

@@ -61,7 +61,7 @@ H_PAD = 128  # lane width for the per-head m/l state
 def _kernel(
     scalar_ref, q_ref, k_ref, v_ref, *rest,
     scale, kt, scaled, g, single_pass, hs, dh, packed=False, fused_out=False,
-    merge_extra=False, ngk=0, ngv=0, v_packed=False, voff=1,
+    merge_extra=False, ngk=0, ngv=0, v_packed=False, voff=1, store=False,
 ):
     """``scaled=True``: K/V blocks are int8 with per-token absmax scales in
     an extra ``[kt, 2]`` f32 operand (K scale in lane 0, V scale in lane 1)
@@ -101,7 +101,15 @@ def _kernel(
     groups; scales expand to channels with one tiny one-hot MXU dot per
     half and fold into the unpacked nibbles (exact dequant).
     ``v_packed`` marks an int4 V cache (K may be int8 at the same time)."""
-    if merge_extra:
+    if store:
+        # write-back variant (requires merge_extra + scaled + single_pass):
+        # the current token's PRE-QUANTIZED K/V rows land in the cache
+        # in-place (aliased outputs), replacing the separate RMW slot
+        # writer — the 8-row tile is already in VMEM, so the RMW read that
+        # dominated the writer's traffic disappears entirely
+        kn_ref, vn_ref, kq_ref, vq_ref, sc_ref = rest[:5]
+        acc_ref, m_ref, l_ref, ko_ref, vo_ref = rest[5:]
+    elif merge_extra:
         if scaled:
             kn_ref, vn_ref, sc_ref, acc_ref, m_ref, l_ref = rest
         else:
@@ -111,6 +119,22 @@ def _kernel(
     else:
         acc_ref, m_ref, l_ref = rest
     t_step = pl.program_id(1)
+
+    if store:
+        # replace row pos%8 of the 8-row tile containing pos (the masked
+        # select over the block mirrors ops/pallas_cache._kernel; a dynamic
+        # single-sublane store is not expressible for Mosaic)
+        base = scalar_ref[2] * 8
+        row = scalar_ref[3]
+        kblk = k_ref[0, :, pl.ds(base, 8), :]  # [g, 8, ds] (VMEM-resident)
+        vblk = v_ref[0, :, pl.ds(base, 8), :]
+        rowsel = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) == row
+        ko_ref[0] = jnp.where(
+            rowsel, jnp.broadcast_to(kq_ref[:, 0:1, :], kblk.shape), kblk
+        )
+        vo_ref[0] = jnp.where(
+            rowsel, jnp.broadcast_to(vq_ref[:, 0:1, :], vblk.shape), vblk
+        )
 
     if not single_pass:
         @pl.when(t_step == 0)
@@ -281,12 +305,13 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "n_heads", "kt", "g", "batch_groups", "interpret", "fused_out",
-        "merge_extra",
+        "merge_extra", "store",
     ),
 )
 def _decode_attn_call(
     q, k4, v4, scalars, *extras,
     n_heads, kt, g, batch_groups, interpret, fused_out=False, merge_extra=False,
+    store=False,
 ):
     l_dim, _, t, ds = k4.shape
     packed = k4.dtype == jnp.uint8  # int4 K, pairs packed along channels
@@ -329,45 +354,67 @@ def _decode_attn_call(
     grid = (b // g, t // kt)
     single_pass = t == kt  # whole T in one tile: exact one-shot softmax
     hs = max(16, -(-n_heads // 16) * 16)  # head-row count, sublane-aligned
+    qlike_spec = pl.BlockSpec(
+        (g, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    n_extra = (2 if merge_extra else 0) + (2 if store else 0)
+    # store: the 8-row cache tile containing the write position, selected
+    # by scalars[2] = pos // 8 (batch_groups is 1 on the self path)
+    tile_spec_k = pl.BlockSpec(
+        (1, g, 8, ds), lambda b, s, sc: (sc[0], b, sc[2], 0),
+        memory_space=pltpu.VMEM,
+    )
+    tile_spec_v = pl.BlockSpec(
+        (1, g, 8, ds_v), lambda b, s, sc: (sc[0], b, sc[2], 0),
+        memory_space=pltpu.VMEM,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # scalars = [layer, valid_len]
+        num_scalar_prefetch=1,  # scalars = [layer, valid_len(, pos//8, pos%8)]
         grid=grid,
         in_specs=[
-            pl.BlockSpec((g, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            qlike_spec,
             kv_spec,
             v_spec,
-            *(
-                [pl.BlockSpec((g, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM)] * 2
-                if merge_extra
-                else []
-            ),
+            *([qlike_spec] * n_extra),
             *([sc_spec] if scaled else []),
         ],
         out_specs=(
-            pl.BlockSpec((g, 1, d), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            qlike_spec,
             pl.BlockSpec((g, 1, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 1, H_PAD), lambda b, s, sc: (b, 0, 0), memory_space=pltpu.VMEM),
+            *([tile_spec_k, tile_spec_v] if store else []),
         ),
     )
-    acc, m, l = pl.pallas_call(
+    out_shape = (
+        jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, H_PAD), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, H_PAD), jnp.float32),
+    )
+    if store:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct(k4.shape, k4.dtype),
+            jax.ShapeDtypeStruct(v4.shape, v4.dtype),
+        )
+    outs = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, kt=kt, scaled=scaled, g=g,
             single_pass=single_pass, hs=hs, dh=dh, packed=packed,
             fused_out=fused_out, merge_extra=merge_extra,
-            ngk=ngk, ngv=ngv, v_packed=v_packed, voff=voff,
+            ngk=ngk, ngv=ngv, v_packed=v_packed, voff=voff, store=store,
         ),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, H_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, H_PAD), jnp.float32),
-        ),
+        out_shape=out_shape,
+        # operand indices include the scalar-prefetch arg: k4 = 2, v4 = 3
+        input_output_aliases={2: 3, 3: 4} if store else {},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(scalars, q3, k4, v4, *extras)
+    acc, m, l = outs[:3] if store else outs
+    if store:
+        return (acc, m[..., :n_heads], l[..., :n_heads]) + tuple(outs[3:])
     return acc, m[..., :n_heads], l[..., :n_heads]
 
 
@@ -449,6 +496,21 @@ def decode_attention_unnormalized(
     )
 
 
+def merged_store_ok(k4, v4, kv_scale4, b: int) -> bool:
+    """Static gate for the in-kernel cache write-back variant of
+    :func:`decode_attention_merged` — mirrors its own decline conditions
+    so the decoder can restructure its scan carry before calling (the
+    _st_lin_ok pattern, ADVICE r3)."""
+    if k4.ndim != 4 or k4.dtype != jnp.int8 or v4.dtype != jnp.int8:
+        return False
+    _, kb, t, ds = k4.shape
+    if kv_scale4 is None or kv_scale4.shape[-1] != 2:
+        return False
+    if _largest_tile(t) != t or t % 8 != 0:
+        return False
+    return b == kb and any(b % c == 0 for c in (8, 4, 2))
+
+
 def decode_attention_merged(
     q: jnp.ndarray,  # [B, 1, D]
     k4: jnp.ndarray,  # [L, B, T, D(/2)] layered self cache
@@ -461,7 +523,9 @@ def decode_attention_merged(
     *,
     kv_scale4: jnp.ndarray | None = None,
     interpret: bool | None = None,
-) -> jnp.ndarray | None:
+    kq: jnp.ndarray | None = None,  # pre-quantized int8 rows to store
+    vq: jnp.ndarray | None = None,
+):
     """Self-attention decode step with the whole epilogue in-kernel.
 
     Returns the FINAL normalized attention output ``[B, 1, D]`` f32 — the
@@ -469,6 +533,15 @@ def decode_attention_merged(
     inside the single-pass kernel — replacing the per-layer XLA
     ``flash_merge_extra_key`` chain (~25 small ops/layer/step). None when
     the shape isn't single-tile (caller uses the two-stage path).
+
+    ``kq``/``vq`` (both or neither; gate with :func:`merged_store_ok`):
+    the current token's PRE-QUANTIZED int8 K/V rows are written into the
+    cache **in place** at position ``valid_len`` (aliased outputs), and
+    the return becomes ``(out, new_k4, new_v4)``. The kernel already
+    holds the target 8-row tile in VMEM for the attention read, so this
+    removes the separate RMW slot-writer launches and their read traffic
+    (~99 us/array/step at B=64; ops/pallas_cache.py stays as the
+    non-merged path's writer).
     """
     _, kb, t, ds = k4.shape
     packed = k4.dtype == jnp.uint8
@@ -498,16 +571,27 @@ def decode_attention_merged(
     g = _env_g("WB_SELF_G", g, b)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    store = kq is not None
+    if store and not merged_store_ok(k4, v4, kv_scale4, b):
+        return None  # caller gates on merged_store_ok; be safe anyway
+    pos = jnp.asarray(valid_len, jnp.int32)
     scalars = jnp.stack(
-        [jnp.asarray(layer, jnp.int32), jnp.asarray(valid_len, jnp.int32)]
+        [jnp.asarray(layer, jnp.int32), pos]
+        + ([pos // 8, pos % 8] if store else [])
     )
-    extras = (k_new, v_new) + (() if kv_scale4 is None else (kv_scale4,))
-    out, _, _ = _decode_attn_call(
+    extras = (
+        (k_new, v_new)
+        + ((kq, vq) if store else ())
+        + (() if kv_scale4 is None else (kv_scale4,))
+    )
+    res = _decode_attn_call(
         q, k4, v4, scalars, *extras,
         n_heads=n_heads, kt=kt, g=g, batch_groups=1, interpret=interpret,
-        fused_out=True, merge_extra=True,
+        fused_out=True, merge_extra=True, store=store,
     )
-    return out
+    if store:
+        return res[0], res[3], res[4]
+    return res[0]
 
 
 def _largest_tile(t: int) -> int | None:
