@@ -44,6 +44,19 @@ FLOORS = {
 OPT_FLOORS = {
     "q4_int4selfkv": 0.70,
 }
+# peaked-fixture serving rows (VERDICT r4 #3): the structured Q4
+# reference gives a trained-checkpoint-like logit surface, so these
+# floors are tight (r5 sweep: every shipped row >= 0.986 mean, one seed
+# fully exact). The int4-self opt-ins also clear 0.96 TEACHER-FORCED
+# here but collapse free-running (HF_PARITY.md) — shipping decisions
+# use the free-running oracle, not these rows.
+STRUCT_FLOORS = {
+    "q4_bf16_struct": 0.97,
+    "q4_int8kv_struct": 0.97,
+    "q4_int4kv_struct": 0.95,
+    "q4_int4kv_q8log_struct": 0.95,
+    "q4_w8a8_struct": 0.95,
+}
 
 
 def test_kv_quantization_floors_small():
@@ -130,7 +143,7 @@ def test_committed_accuracy_numbers_meet_floors():
         pytest.skip("ACCURACY.json not yet produced (requires the TPU chip)")
     data = json.loads(ACCURACY_JSON.read_text())
     variants = data["variants"]
-    for name, floor in {**FLOORS, **OPT_FLOORS}.items():
+    for name, floor in {**FLOORS, **OPT_FLOORS, **STRUCT_FLOORS}.items():
         if name not in variants:  # committed sweep predates this variant
             continue
         s = variants[name]
