@@ -238,7 +238,11 @@ def _stage_breakdown(cfg, compute, params, audio, lang) -> dict:
     fits at 128) and returns only a small reduction; stage k's time is the
     difference of consecutive prefix timings (min over iters, clamped at
     0). The diffs also charge each stage the fusion context it has in the
-    real headline program rather than stage-sliced dispatch overhead."""
+    real headline program rather than stage-sliced dispatch overhead.
+    ``BENCH_BREAKDOWN_MODE=sliced`` selects the old attribution as a
+    cross-check at batches where two cache copies fit."""
+    if os.environ.get("BENCH_BREAKDOWN_MODE") == "sliced":
+        return _stage_breakdown_sliced(cfg, compute, params, audio, lang)
     return _stage_breakdown_cumulative(cfg, compute, params, audio, lang)
 
 

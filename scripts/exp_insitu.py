@@ -44,6 +44,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("WB_NO_STORE"):
+        # A/B hook: disable the in-kernel cache write-back (decoder falls
+        # back to the r4 deferred slot writer) to isolate its effect
+        import whisper_burn_tpu.ops.pallas_attention as _pa
+
+        _pa.merged_store_ok = lambda *a, **k: False
+
     from whisper_burn_tpu.models import WhisperConfig
     from whisper_burn_tpu.models.decoder import (
         decode_step,
