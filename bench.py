@@ -54,6 +54,13 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("WB_NO_STORE"):
+        # A/B hook: disable the in-kernel cache write-back (falls back to
+        # the r4 deferred slot writer); measurement only, never the default
+        import whisper_burn_tpu.ops.pallas_attention as _pa
+
+        _pa.merged_store_ok = lambda *a, **k: False
+
     from whisper_burn_tpu.audio.mel import MelFrontend
     from whisper_burn_tpu.transcribe import enable_compilation_cache
 
