@@ -138,7 +138,12 @@ def _packed_call(q, k, v, *, n_heads, valid, interpret):
     budget = 24 * 1024 * 1024  # operand-block budget (x2 buffering, x4 ops)
     dgrp = dh
     for cand in range(n_heads, 0, -1):
-        if n_heads % cand == 0 and 8 * t * cand * dh * q.dtype.itemsize <= budget:
+        # STRICT inequality: Medium's 16 heads x 8*t*dh*2 bytes lands
+        # EXACTLY on the budget, and the resulting whole-D block
+        # (16-head loop, grid=(B, 1)) blew the 100 MB scoped-vmem stack
+        # (126.9 MB — per-head f32 score temps on top of the operand
+        # blocks). Large-V3's 10-head choice is unchanged.
+        if n_heads % cand == 0 and 8 * t * cand * dh * q.dtype.itemsize < budget:
             dgrp = cand * dh
             break
     spec = pl.BlockSpec(
