@@ -95,9 +95,18 @@ def main() -> None:
     params = prepare_params(fabricated_quantized_params(cfg, seed=0), compute)
     mel_frontend = MelFrontend(n_mels=cfg.n_mels, norm="slaney")
 
+    beam_w = int(os.environ.get("BENCH_BEAM", "0"))  # 0 = greedy
+
     @jax.jit
     def step(params, audio, lang):
         features = mel_frontend(audio)
+        if beam_w > 1:
+            from whisper_burn_tpu.models.beam import beam_decode
+
+            return beam_decode(
+                params, cfg, features, lang, compute,
+                beam_width=beam_w, max_tokens=224,
+            )
         return greedy_decode(params, cfg, features, lang, compute, max_tokens=224)
 
     rng = np.random.default_rng(0)

@@ -135,17 +135,7 @@ def _packed_call(q, k, v, *, n_heads, valid, interpret):
     # split D into head groups on a second grid axis so the four
     # double-buffered [1, T, dgrp] operand blocks + the per-head f32
     # score block stay inside VMEM (full-D blocks at T=1536/D=1280 OOM'd)
-    budget = 24 * 1024 * 1024  # operand-block budget (x2 buffering, x4 ops)
-    dgrp = dh
-    for cand in range(n_heads, 0, -1):
-        # STRICT inequality: Medium's 16 heads x 8*t*dh*2 bytes lands
-        # EXACTLY on the budget, and the resulting whole-D block
-        # (16-head loop, grid=(B, 1)) blew the 100 MB scoped-vmem stack
-        # (126.9 MB — per-head f32 score temps on top of the operand
-        # blocks). Large-V3's 10-head choice is unchanged.
-        if n_heads % cand == 0 and 8 * t * cand * dh * q.dtype.itemsize < budget:
-            dgrp = cand * dh
-            break
+    dgrp = _pick_dgrp(t, d, n_heads, q.dtype.itemsize)
     spec = pl.BlockSpec(
         (1, t, dgrp), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
@@ -163,6 +153,32 @@ def _packed_call(q, k, v, *, n_heads, valid, interpret):
         ),
         interpret=interpret,
     )(q, k, v)
+
+
+def _pick_dgrp(t: int, d: int, n_heads: int, itemsize: int) -> int | None:
+    """Head-group width for the packed kernel's second grid axis.
+
+    Constraints (each violated by a real config before it was added):
+    * STRICT operand budget — Medium's 16 heads x 8*t*dh*2 bytes lands
+      EXACTLY on 24 MB, and the admitted whole-D block (16-head loop)
+      blew the 100 MB scoped-vmem stack at compile (126.9 MB);
+    * lane alignment — dgrp must be a 128-multiple (or the whole D):
+      f32 parity compute at Large-V3 dims otherwise picks 5 heads = 320
+      lanes, which Mosaic's block rules reject at trace time.
+    None = no valid grouping (caller falls back to the head-blocked
+    kernel). Large-V3 bf16's measured 10-head choice is unchanged.
+    """
+    dh = d // n_heads
+    budget = 24 * 1024 * 1024  # operand-block budget (x2 buffering, x4 ops)
+    for cand in range(n_heads, 0, -1):
+        dgrp = cand * dh
+        if (
+            n_heads % cand == 0
+            and (dgrp % 128 == 0 or dgrp == d)
+            and 8 * t * dgrp * itemsize < budget
+        ):
+            return dgrp
+    return None
 
 
 def encoder_attention_packed(
@@ -184,6 +200,8 @@ def encoder_attention_packed(
     b, t, d = q.shape
     if t % 128 != 0 or not supported(t, d, n_heads):
         return None
+    if _pick_dgrp(t, d, n_heads, q.dtype.itemsize) is None:
+        return None  # no lane-aligned head grouping fits VMEM
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     return _packed_call(
@@ -192,12 +210,18 @@ def encoder_attention_packed(
     )
 
 
-def supported(t: int, d: int, n_heads: int) -> bool:
+def supported(t: int, d: int, n_heads: int, itemsize: int = 4) -> bool:
+    """Gate shared by this module and models/encoder.py's stack-wide pad
+    decision (they must agree, or a pre-padded call loses its kernel and
+    flash_prefill raises). ``itemsize=4`` checks the wider f32 case so
+    the answer is conservative for bf16 callers too."""
     if d % n_heads:
         return False
     dh = d // n_heads
     tp = -(-t // 128) * 128
-    return dh % 64 == 0 and 128 <= tp <= _MAX_T
+    if not (dh % 64 == 0 and 128 <= tp <= _MAX_T):
+        return False
+    return _pick_dgrp(tp, d, n_heads, itemsize) is not None
 
 
 def encoder_attention(
