@@ -74,3 +74,25 @@ def test_encoder_attention_declines_long_t():
     b, t, d, h = 1, 4096, 128, 2
     q = jnp.zeros((b, t, d))
     assert encoder_attention(q, q, q, h, interpret=True) is None
+
+
+def test_encoder_head_group_selection_valid_across_family():
+    """_pick_dgrp must return a lane-aligned (or whole-D) group under the
+    STRICT VMEM budget for every (model dims x dtype) combination — two
+    real configs violated this before r5: Medium bf16 tied the budget
+    exactly (scoped-vmem OOM at compile) and Large f32 picked a 320-lane
+    group (Mosaic block-rule reject)."""
+    from whisper_burn_tpu.ops.pallas_encoder_attention import _pick_dgrp
+
+    budget = 24 * 1024 * 1024
+    for d, h in ((1280, 20), (1024, 16), (64, 1), (128, 2)):
+        for itemsize in (2, 4):
+            dgrp = _pick_dgrp(1536 if d >= 512 else 128, d, h, itemsize)
+            assert dgrp is not None, (d, h, itemsize)
+            t = 1536 if d >= 512 else 128
+            assert dgrp % 128 == 0 or dgrp == d, (d, h, itemsize, dgrp)
+            assert 8 * t * dgrp * itemsize < budget, (d, h, itemsize, dgrp)
+    # the measured Large-V3 bf16 choice is pinned: 10 heads = 640 lanes
+    assert _pick_dgrp(1536, 1280, 20, 2) == 640
+    # Medium bf16 drops to the 8-head group (the exact-tie fix)
+    assert _pick_dgrp(1536, 1024, 16, 2) == 512
