@@ -144,7 +144,10 @@ def main() -> None:
     audio_seconds = BATCH * SECONDS_PER_UTTERANCE
     value = audio_seconds / t_min
 
-    if os.environ.get("BENCH_BREAKDOWN", "1") != "0":
+    # the breakdown subprocess times the GREEDY pipeline; running it under
+    # a BENCH_BEAM headline would stamp the beam headline next to greedy
+    # stage numbers and clobber the committed greedy artifact (r5 review)
+    if beam_w <= 1 and os.environ.get("BENCH_BREAKDOWN", "1") != "0":
         _run_breakdown_subprocess(BATCH, t_min)
 
     print(

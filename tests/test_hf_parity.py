@@ -133,46 +133,16 @@ def _load_ours(hf):
 
 
 def _hf_generate(hf, cfg, mel, langs, *, max_new, num_beams=1):
-    """HF generate with the reference decode protocol: forced 4-token
-    prompt [SOT, lang, TRANSCRIBE, NO_TS], EOT banned for the first
-    MIN_TOKENS=3 samples, greedy/beam, stop at EOT, cap max_new
-    (src/model/whisper.rs:62-127). Returns per-stream generated ids
-    (EOT-stripped) — HF's Whisper generate returns generated-only tokens.
-    """
-    from whisper_burn_tpu.models.config import EOT, SOT
+    """Reference decode protocol via the SHARED oracle helper — the load-
+    bearing GenerationConfig (forced 4-token prompt, min_new_tokens=3,
+    EOT strip) must have exactly one definition, used by both these
+    parity tests and the HF_PARITY artifact (r5 review)."""
+    from whisper_burn_tpu.eval.hf_oracle import hf_generate_greedy
 
-    b = mel.shape[0]
-    prompt = np.stack(
-        [
-            np.full(b, SOT),
-            langs.astype(np.int64),
-            np.full(b, cfg.transcribe_token),
-            np.full(b, cfg.no_timestamps_token),
-        ],
-        axis=1,
+    return hf_generate_greedy(
+        hf, cfg, np.asarray(mel, np.float32), np.asarray(langs),
+        max_new=max_new, num_beams=num_beams,
     )
-    gc = transformers.GenerationConfig(
-        do_sample=False,
-        num_beams=num_beams,
-        min_new_tokens=3,
-        max_new_tokens=max_new,
-        eos_token_id=EOT,
-        pad_token_id=EOT,
-        begin_suppress_tokens=None,
-        forced_decoder_ids=None,
-        length_penalty=1.0,
-        early_stopping=False,
-    )
-    with torch.no_grad():
-        gen = hf.generate(
-            input_features=torch.from_numpy(mel),
-            decoder_input_ids=torch.from_numpy(prompt),
-            generation_config=gc,
-        ).numpy()
-    rows = []
-    for t in gen:
-        rows.append(t[: int(np.argmax(t == EOT))] if (t == EOT).any() else t)
-    return rows
 
 
 def _mel_langs(cfg, b=3, seed=5):

@@ -309,9 +309,13 @@ def _cmd_parity(args: argparse.Namespace) -> int:
             ),
             "hub",
         )
-        want = args.variant.replace("_", "-")
+        # exact repo-name match: a substring test would let large-v3
+        # match large-v3-turbo (and medium match medium.en) and silently
+        # run parity against the wrong checkpoint (r5 review)
+        want = f"whisper-{args.variant.replace('_', '-')}"
         for repo in sorted(glob.glob(os.path.join(hub, "models--*whisper*"))):
-            if want not in os.path.basename(repo):
+            name = os.path.basename(repo).split("--")[-1]
+            if name != want:
                 continue
             for snap in sorted(
                 glob.glob(os.path.join(repo, "snapshots", "*"))
@@ -425,7 +429,8 @@ def _cmd_parity(args: argparse.Namespace) -> int:
                   f"(expected {len(exp)} tokens, got {len(tokens)})")
             _write_status(
                 "FAIL", f"tokens diverge at position {diverge}",
-                {"expected_tokens": len(exp), "got_tokens": len(tokens)},
+                {"expected_tokens": len(exp), "got_tokens": len(tokens),
+                 "attempted": chain},
             )
             status = 1
 

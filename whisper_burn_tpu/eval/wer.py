@@ -32,8 +32,15 @@ def normalize_text(text: str, basic: bool = False) -> str:
 
 
 def _use_basic(language: str | None) -> bool:
-    """English-specific rules only apply to English text (ADVICE r4)."""
-    return language is not None and language.lower() not in ("en", "english")
+    """English-specific rules only apply to English text (ADVICE r4).
+
+    ``None`` and ``"auto"`` both mean "language unknown" and get the SAME
+    documented behavior: the full English normalizer (the rule set
+    BASELINE's WER target is defined under) — an unknown language must
+    not silently change the metric definition (r5 review)."""
+    return language is not None and language.lower() not in (
+        "en", "english", "auto",
+    )
 
 
 def word_errors(

@@ -126,14 +126,12 @@ def prefill_attention(
             return out.astype(compute.dtype)
     if valid is not None:
         # The fallbacks below ignore ``valid`` and would silently attend
-        # over pad keys. Unreachable today (models/encoder.py gates its
-        # stack-wide pad on the same supported() predicate); fail loudly
-        # if those gates ever diverge (ADVICE r4).
-        raise ValueError(
-            f"prefill_attention: packed kernel declined (T={t}, D={d}, "
-            f"H={n_heads}) but caller passed valid={valid}; the fallback "
-            "paths cannot mask pad keys"
-        )
+        # over pad keys — but the CALLER's XLA fallback masks them
+        # correctly (models/encoder.py applies length_mask when this
+        # returns None), so a gate divergence degrades to the masked
+        # einsum path instead of corrupting output (ADVICE r4) or
+        # crashing the forward pass (r5 review).
+        return None
     tp = -(-t // 128) * 128
     if tp != t:
         pad = ((0, 0), (0, tp - t), (0, 0))

@@ -43,14 +43,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_BIG = -1e30
 
 
-def _env_g(name: str, default: int, b: int) -> int:
+def _env_g(name: str, default: int, b: int, ok=None) -> int:
     """Experiment hook: override a kernel's batch-group block size via env
-    (scripts/exp_insitu.py sweeps these in situ). Ignored unless it divides
-    the batch; never used in production configs."""
+    (scripts/exp_insitu.py sweeps these in situ). The override must divide
+    the batch AND pass the caller's VMEM-budget predicate ``ok`` — a stale
+    exported value must never push a production kernel past its budget
+    (r5 review); never set in production configs."""
     import os
 
     v = os.environ.get(name)
-    if v and b % int(v) == 0:
+    if v and b % int(v) == 0 and (ok is None or ok(int(v))):
         return int(v)
     return default
 
@@ -468,7 +470,10 @@ def decode_attention_layer(
             if b % cand == 0 and cand * kt * ds * k4.dtype.itemsize <= budget:
                 g = cand
                 break
-        g = _env_g("WB_SELF_G", g, b)
+        g = _env_g(
+            "WB_SELF_G", g, b,
+            ok=lambda c: c * kt * ds * k4.dtype.itemsize <= budget,
+        )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     scalars = jnp.stack(
@@ -508,7 +513,7 @@ def merged_store_ok(k4, v4, kv_scale4, b: int) -> bool:
         return False
     if _largest_tile(t) != t or t % 8 != 0:
         return False
-    return b == kb and any(b % c == 0 for c in (8, 4, 2))
+    return b == kb and b % 2 == 0
 
 
 def decode_attention_merged(
@@ -568,7 +573,10 @@ def decode_attention_merged(
         if b % cand == 0 and cand * kt * ds * k4.dtype.itemsize <= budget:
             g = cand
             break
-    g = _env_g("WB_SELF_G", g, b)
+    g = _env_g(
+        "WB_SELF_G", g, b,
+        ok=lambda c: c * kt * ds * k4.dtype.itemsize <= budget,
+    )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     store = kq is not None
@@ -824,7 +832,10 @@ def decode_attention_kT(
             if b % cand == 0 and cand * 2 * ds * t * kT4.dtype.itemsize <= budget:
                 g = cand
                 break
-        g = _env_g("WB_CROSS_G", g, b)
+        g = _env_g(
+            "WB_CROSS_G", g, b,
+            ok=lambda c: c * 2 * ds * t * kT4.dtype.itemsize <= budget,
+        )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     scalars = jnp.stack(

@@ -37,12 +37,18 @@ def ffn_bf(d: int, f: int) -> int | None:
     double-buffered w1 + w2 + scale blocks."""
     import os
 
-    v = os.environ.get("WB_FFN_BF")  # experiment hook (scripts/exp_insitu.py)
-    if v and f % int(v) == 0:
-        return int(v)
     budget = 7 * 1024 * 1024
+
+    def _fits(c: int) -> bool:
+        return (2 * d * c + 2 * (max(d, c) // Q4_BLOCK) * max(d, c) * 4) <= budget
+
+    # experiment hook (scripts/exp_insitu.py) — must still fit the VMEM
+    # budget so a stale exported value cannot break production (r5 review)
+    v = os.environ.get("WB_FFN_BF")
+    if v and f % int(v) == 0 and _fits(int(v)):
+        return int(v)
     for c in (2560, 2048, 1536, 1280, 1024, 768, 640, 512):
-        if f % c == 0 and (2 * d * c + 2 * (max(d, c) // Q4_BLOCK) * max(d, c) * 4) <= budget:
+        if f % c == 0 and _fits(c):
             return c
     return None
 
