@@ -1,10 +1,13 @@
 """Real-dims offline token parity vs HF ``generate()`` (VERDICT r4 #1).
 
 Runs the eval.hf_oracle protocol at real Large-V3 width — D=1280, 20
-heads (dh=64), 128 mels, vocab 51866, n_audio_ctx=1500 — with the layer
-count reduced to 4+4 so the fixture fits the offline environment (the
-width, head geometry, vocab, and every kernel tile shape are the
-production ones; only the stack depth is shortened).
+heads (dh=64), 128 mels, vocab 51866, n_audio_ctx=1500. Default depth is
+4+4 layers (HF_PARITY.md: every width/kernel-tile shape is production,
+CPU-oracle cost kept small); ``--layers 32 --out HF_PARITY_FULL`` runs
+the FULL 32+32-layer Large-V3 architecture (HF_PARITY_FULL.md — the f32
+parity row must stay token-exact; precision rows are read through the
+``vs our bf16`` column because a 64-layer random-weight greedy surface
+is trajectory-chaotic under bf16 rounding).
 
 Pipeline under test = the production intake path: HF state dict ->
 ``convert_state_dict`` -> Q4_0 GGUF -> ``load_whisper_from_gguf`` ->
@@ -142,6 +145,7 @@ def main() -> int:
         "serving_mixed_8k4v": serving.replace(self_kv_vbits=4),
     }
     results: dict[str, dict] = {}
+    tokens_by_row: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     mel_j = jnp.asarray(mel)
     langs_j = jnp.asarray(langs)
     print("[5/6] our rows", flush=True)
@@ -154,23 +158,56 @@ def main() -> int:
         )
         ours = np.asarray(res.tokens)
         n_gen = np.asarray(res.n_generated)
+        tokens_by_row[name] = (ours, n_gen)
         agr = [agreement(ours[i], n_gen[i], theirs[i]) for i in range(args.batch)]
         exact = all(
             int(n_gen[i]) == len(theirs[i])
             and np.array_equal(ours[i][: n_gen[i]], theirs[i])
             for i in range(args.batch)
         )
+        # first step (per stream) where our trajectory leaves the HF one —
+        # positional agreement zeroes everything AFTER a single greedy
+        # near-tie flip, so the flip point is the informative number at
+        # full depth where bf16 rounding makes trajectories chaotic
+        first_div = [
+            next(
+                (
+                    i
+                    for i in range(min(int(n_gen[s]), len(theirs[s])))
+                    if int(ours[s][i]) != int(theirs[s][i])
+                ),
+                -1,  # -1 = no positional mismatch (may still differ in length)
+            )
+            for s in range(args.batch)
+        ]
         results[name] = {
             "agreement_mean": round(float(np.mean(agr)), 4),
             "agreement_min": round(float(np.min(agr)), 4),
             "token_exact": bool(exact),
             "per_stream": [round(a, 4) for a in agr],
+            "first_divergence_vs_hf": first_div,
             "wall_s": round(time.time() - t_row, 1),
         }
         print(f"    {name}: mean={np.mean(agr):.4f} min={np.min(agr):.4f} "
-              f"exact={exact} ({time.time()-t_row:.0f} s)", flush=True)
+              f"exact={exact} div@{first_div} ({time.time()-t_row:.0f} s)",
+              flush=True)
         del params
         gc.collect()
+
+    # attribution column: agreement vs OUR bf16/XLA trajectory. At full
+    # depth the random-weight logit surface is trajectory-chaotic under
+    # bf16 rounding (f32 stays token-exact vs the f32 HF oracle); this
+    # column separates "bf16 precision flipped a near-tie" from "the
+    # Pallas/quantized path changed the math".
+    bf16_toks, bf16_n = tokens_by_row["fast_bf16_xla"]
+    for name, r in results.items():
+        ours, n_gen = tokens_by_row[name]
+        vs = [
+            agreement(ours[i], n_gen[i], bf16_toks[i][: int(bf16_n[i])])
+            for i in range(args.batch)
+        ]
+        r["vs_bf16_mean"] = round(float(np.mean(vs)), 4)
+        r["vs_bf16_min"] = round(float(np.min(vs)), 4)
 
     print("[6/6] writing artifacts", flush=True)
     payload = {
@@ -210,8 +247,8 @@ def main() -> int:
         f"Mel frontend vs `WhisperFeatureExtractor` (128 mels): max abs diff "
         f"**{mel_max_abs_diff:.2e}**.",
         "",
-        "| row | compute | token-exact | agreement mean / min |",
-        "|---|---|---|---|",
+        "| row | compute | token-exact | vs HF mean / min | vs our bf16 mean / min |",
+        "|---|---|---|---|---|",
     ]
     desc = {
         "parity_f32_xla": "f32, XLA",
@@ -226,14 +263,20 @@ def main() -> int:
         md.append(
             f"| {name} | {desc[name]} | "
             f"{'**yes**' if r['token_exact'] else 'no'} | "
-            f"{r['agreement_mean']:.4f} / {r['agreement_min']:.4f} |"
+            f"{r['agreement_mean']:.4f} / {r['agreement_min']:.4f} | "
+            f"{r['vs_bf16_mean']:.4f} / {r['vs_bf16_min']:.4f} |"
         )
     md += [
         "",
         "Parity compute is required to be token-exact (the verdict's",
         "correctness axis); serving rows are gated at >= 0.90 agreement by",
-        "tests/test_accuracy.py-style floors. Generated by",
-        "`python scripts/hf_realdims_parity.py`.",
+        "tests/test_accuracy.py-style floors at 4+4 depth. `vs our bf16`",
+        "re-scores each row against our own bf16/XLA trajectory: greedy",
+        "decode on a random-weight surface is trajectory-chaotic — a single",
+        "bf16-rounded near-tie flip rewrites every later position — so at",
+        "full 32+32 depth that column (plus `first_divergence_vs_hf` in the",
+        "JSON) is what separates precision-induced trajectory splits from",
+        "kernel error. Generated by `python scripts/hf_realdims_parity.py`.",
     ]
     with open(args.out + ".md", "w") as f:
         f.write("\n".join(md) + "\n")
