@@ -72,6 +72,11 @@ def main() -> int:
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument(
+        "--beam", type=int, default=2,
+        help="beam width for the beam-parity leg (<=1 skips it); runs "
+        "beam_decode vs HF beam search at the same real dims",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="HF_PARITY")
     args = ap.parse_args()
@@ -130,6 +135,18 @@ def main() -> int:
     hf_s = time.time() - t_hf
     lens = [len(t_) for t_ in theirs]
     print(f"    {hf_s:.0f} s, generated lens = {lens}", flush=True)
+    beam_theirs = None
+    beam_hf_s = 0.0
+    if args.beam > 1:
+        t_hf = time.time()
+        beam_theirs = hf_generate_greedy(
+            hf, cfg, mel, langs, max_new=args.max_new, num_beams=args.beam
+        )
+        beam_hf_s = time.time() - t_hf
+        print(
+            f"    beam-{args.beam} oracle: {beam_hf_s:.0f} s, "
+            f"lens = {[len(t_) for t_ in beam_theirs]}", flush=True,
+        )
     del hf
     gc.collect()
 
@@ -209,6 +226,66 @@ def main() -> int:
         r["vs_bf16_mean"] = round(float(np.mean(vs)), 4)
         r["vs_bf16_min"] = round(float(np.min(vs)), 4)
 
+    # beam leg: beam_decode vs HF beam search at the same real dims, in
+    # the no-early-stop regime where the hypothesis-set evolution is
+    # identical (tests/test_hf_parity.py pins this at toy dims; this is
+    # the real-width counterpart).
+    beam_results: dict[str, dict] = {}
+    if beam_theirs is not None:
+        from whisper_burn_tpu.models.beam import beam_decode
+
+        beam_rows = {
+            "beam_parity_f32_xla": rows["parity_f32_xla"],
+            "beam_fast_bf16_xla": rows["fast_bf16_xla"],
+            "beam_serving_int8kv": rows["serving_int8kv"],
+            "beam_serving_no_q8log":
+                rows["serving_default_int4cross_q8log_w8a8"].replace(
+                    quantized_logits=False
+                ),
+            "beam_serving_int8cross":
+                Compute.fastest().replace(
+                    quantized_logits=True, w8a8=True
+                ),
+            "beam_serving_default":
+                rows["serving_default_int4cross_q8log_w8a8"],
+        }
+        print(f"[5b] beam-{args.beam} rows", flush=True)
+        for name, comp in beam_rows.items():
+            t_row = time.time()
+            params = prepare_params(loaded.params, comp)
+            res = beam_decode(
+                params, cfg,
+                mel_j.astype(comp.dtype) if comp.dtype != jnp.float32
+                else mel_j,
+                langs_j, comp, beam_width=args.beam,
+                max_tokens=args.max_new,
+            )
+            ours = np.asarray(res.tokens)
+            n_gen = np.asarray(res.n_generated)
+            agr = [
+                agreement(ours[i], n_gen[i], beam_theirs[i])
+                for i in range(args.batch)
+            ]
+            exact = all(
+                int(n_gen[i]) == len(beam_theirs[i])
+                and np.array_equal(ours[i][: n_gen[i]], beam_theirs[i])
+                for i in range(args.batch)
+            )
+            beam_results[name] = {
+                "agreement_mean": round(float(np.mean(agr)), 4),
+                "agreement_min": round(float(np.min(agr)), 4),
+                "token_exact": bool(exact),
+                "per_stream": [round(a, 4) for a in agr],
+                "wall_s": round(time.time() - t_row, 1),
+            }
+            print(
+                f"    {name}: mean={np.mean(agr):.4f} "
+                f"min={np.min(agr):.4f} exact={exact} "
+                f"({time.time()-t_row:.0f} s)", flush=True,
+            )
+            del params
+            gc.collect()
+
     print("[6/6] writing artifacts", flush=True)
     payload = {
         "protocol": "hf_oracle real-dims (see scripts/hf_realdims_parity.py)",
@@ -224,6 +301,15 @@ def main() -> int:
         "hf_generate_lens": lens,
         "hf_generate_s": round(hf_s, 1),
         "rows": results,
+        "beam": (
+            {
+                "width": args.beam,
+                "hf_generate_s": round(beam_hf_s, 1),
+                "rows": beam_results,
+            }
+            if beam_results
+            else None
+        ),
         "wall_s": round(time.time() - t0, 1),
     }
     with open(args.out + ".json", "w") as f:
@@ -266,6 +352,23 @@ def main() -> int:
             f"{r['agreement_mean']:.4f} / {r['agreement_min']:.4f} | "
             f"{r['vs_bf16_mean']:.4f} / {r['vs_bf16_min']:.4f} |"
         )
+    beam_desc = {
+        "beam_parity_f32_xla": "beam search, f32, XLA",
+        "beam_fast_bf16_xla": "beam search, bf16, XLA",
+        "beam_serving_int8kv": "beam search, bf16, Pallas, int8 self+cross KV",
+        "beam_serving_no_q8log":
+            "beam search, serving config minus int8 logits",
+        "beam_serving_int8cross":
+            "beam search, serving config with int8 (not int4) cross-KV",
+        "beam_serving_default":
+            "beam search, full serving config (int4 cross, int8 logits, W8A8)",
+    }
+    for name, r in beam_results.items():
+        md.append(
+            f"| {name} (W={args.beam}) | {beam_desc[name]} | "
+            f"{'**yes**' if r['token_exact'] else 'no'} | "
+            f"{r['agreement_mean']:.4f} / {r['agreement_min']:.4f} | — |"
+        )
     md += [
         "",
         "Parity compute is required to be token-exact (the verdict's",
@@ -276,7 +379,11 @@ def main() -> int:
         "bf16-rounded near-tie flip rewrites every later position — so at",
         "full 32+32 depth that column (plus `first_divergence_vs_hf` in the",
         "JSON) is what separates precision-induced trajectory splits from",
-        "kernel error. Generated by `python scripts/hf_realdims_parity.py`.",
+        "kernel error. Beam rows compare `beam_decode` (HF-parity banked",
+        "early stopping, length_penalty=1.0) against HF",
+        "`generate(num_beams=W)` over the same weights — their `vs HF`",
+        "column scores against the HF *beam* oracle. Generated by",
+        "`python scripts/hf_realdims_parity.py`.",
     ]
     with open(args.out + ".md", "w") as f:
         f.write("\n".join(md) + "\n")
