@@ -390,3 +390,21 @@ def test_write_cache_slot_matches_dus():
         )
         is None
     )
+
+
+def test_env_g_override_is_validated_and_never_crashes(monkeypatch):
+    """The experiment-only block-size env hook must ignore anything that
+    could break a production decode: unparsable text, non-divisors,
+    non-positive values, and values the caller's VMEM predicate rejects."""
+    from whisper_burn_tpu.ops.pallas_attention import _env_g
+
+    monkeypatch.delenv("WB_TEST_G", raising=False)
+    assert _env_g("WB_TEST_G", 8, 64) == 8  # unset -> default
+
+    for bad in ("abc", "", "4.5", "0", "-2", "7"):  # 7 does not divide 64
+        monkeypatch.setenv("WB_TEST_G", bad)
+        assert _env_g("WB_TEST_G", 8, 64) == 8
+
+    monkeypatch.setenv("WB_TEST_G", "16")
+    assert _env_g("WB_TEST_G", 8, 64) == 16  # valid divisor accepted
+    assert _env_g("WB_TEST_G", 8, 64, ok=lambda c: c <= 8) == 8  # budget veto

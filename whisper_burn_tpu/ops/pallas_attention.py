@@ -51,9 +51,12 @@ def _env_g(name: str, default: int, b: int, ok=None) -> int:
     (r5 review); never set in production configs."""
     import os
 
-    v = os.environ.get(name)
-    if v and b % int(v) == 0 and (ok is None or ok(int(v))):
-        return int(v)
+    try:
+        v = int(os.environ.get(name, ""))
+    except ValueError:
+        return default  # unparsable stray value: ignore, never crash decode
+    if v > 0 and b % v == 0 and (ok is None or ok(v)):
+        return v
     return default
 
 
