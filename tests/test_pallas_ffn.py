@@ -57,3 +57,18 @@ def test_erf_gelu_polynomial_accuracy():
     g = _gelu(x, "erf")
     ref = jax.nn.gelu(x, approximate=False)
     assert float(jnp.abs(g - ref).max()) < 2e-5
+
+
+def test_ffn_bf_env_override_ignores_stray_values(monkeypatch):
+    """WB_FFN_BF must never crash or mis-tile production: unparsable and
+    non-fitting values fall back to the automatic tile choice."""
+    from whisper_burn_tpu.ops.pallas_ffn import ffn_bf
+
+    monkeypatch.delenv("WB_FFN_BF", raising=False)
+    auto = ffn_bf(1280, 5120)
+    assert auto is not None
+    for bad in ("abc", "", "0", "-512", "999"):  # 999 does not divide 5120
+        monkeypatch.setenv("WB_FFN_BF", bad)
+        assert ffn_bf(1280, 5120) == auto
+    monkeypatch.setenv("WB_FFN_BF", "512")
+    assert ffn_bf(1280, 5120) == 512  # valid fitting divisor accepted

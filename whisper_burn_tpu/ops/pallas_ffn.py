@@ -35,18 +35,19 @@ def ffn_bf(d: int, f: int) -> int | None:
     the dequant VPU passes dominate decode-shape FFNs; bf=512 measured
     27.6% of the HBM roofline at [64, 1280<->5120]). The budget covers the
     double-buffered w1 + w2 + scale blocks."""
-    import os
-
     budget = 7 * 1024 * 1024
 
     def _fits(c: int) -> bool:
         return (2 * d * c + 2 * (max(d, c) // Q4_BLOCK) * max(d, c) * 4) <= budget
 
     # experiment hook (scripts/exp_insitu.py) — must still fit the VMEM
-    # budget so a stale exported value cannot break production (r5 review)
-    v = os.environ.get("WB_FFN_BF")
-    if v and f % int(v) == 0 and _fits(int(v)):
-        return int(v)
+    # budget, and unparsable strays are ignored, so a stale exported value
+    # cannot break production (r5 review); _env_g holds the validation
+    from whisper_burn_tpu.ops.pallas_attention import _env_g
+
+    v = _env_g("WB_FFN_BF", 0, f, ok=_fits)
+    if v:
+        return v
     for c in (2560, 2048, 1536, 1280, 1024, 768, 640, 512):
         if f % c == 0 and _fits(c):
             return c
